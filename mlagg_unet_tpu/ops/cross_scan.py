@@ -1,0 +1,68 @@
+"""Cross-scan / cross-merge layout transforms (4-direction selective scan).
+
+Replaces the reference's Triton kernels (vmamba/csm_triton.py:16-92
+CrossScanTriton/CrossMergeTriton) and the torch stack/flip/transpose code in
+SS2D_skip.forward_corev0 (MambaSkip.py:405-473). On TPU these are pure layout
+transforms — XLA compiles transposes/flips/concats into efficient copies, so
+no custom kernel is needed (SURVEY.md N5).
+
+Directions (matching VMamba): 0 = row-major (H,W), 1 = column-major
+(transpose), 2 = reversed row-major, 3 = reversed column-major.
+
+Multi-scale variants implement the MSMM trick: each scale is expanded to its
+4 scan orders first, then scales are concatenated along L so one scan runs
+over the whole multi-scale sequence (MambaSkip.py:405-422).
+"""
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax.numpy as jnp
+
+
+def cross_scan_2d(x: jnp.ndarray) -> jnp.ndarray:
+    """x: (B, H, W, C) -> (B, 4, C, L) in the 4 scan orders."""
+    B, H, W, C = x.shape
+    hw = jnp.transpose(x, (0, 3, 1, 2)).reshape(B, C, H * W)       # row-major
+    wh = jnp.transpose(x, (0, 3, 2, 1)).reshape(B, C, H * W)       # col-major
+    fwd = jnp.stack([hw, wh], axis=1)                               # (B,2,C,L)
+    return jnp.concatenate([fwd, jnp.flip(fwd, axis=-1)], axis=1)   # (B,4,C,L)
+
+
+def cross_merge_2d(ys: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """ys: (B, 4, C, L) per-direction scan outputs -> merged (B, C, L)
+    (sum after inverting each direction's layout)."""
+    B, K, C, L = ys.shape
+    y0 = ys[:, 0]
+    y1 = jnp.transpose(ys[:, 1].reshape(B, C, W, H), (0, 1, 3, 2)).reshape(B, C, L)
+    y2 = jnp.flip(ys[:, 2], axis=-1)
+    y3_f = jnp.flip(ys[:, 3], axis=-1)
+    y3 = jnp.transpose(y3_f.reshape(B, C, W, H), (0, 1, 3, 2)).reshape(B, C, L)
+    return y0 + y1 + y2 + y3
+
+
+def cross_scan_multiscale(xs: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, List[int]]:
+    """xs: list of (B, H_i, W_i, C) feature maps. Returns
+    ((B, 4, C, L_cat), [L_i]) with each direction built per scale and scales
+    concatenated along L — the reference's "implicit causality across scales"
+    (MambaSkip.py:414-422: flips are *per scale*, not over the concat)."""
+    parts = [cross_scan_2d(x) for x in xs]
+    l_split = [x.shape[1] * x.shape[2] for x in xs]
+    return jnp.concatenate(parts, axis=-1), l_split
+
+
+def cross_merge_multiscale(
+    ys: jnp.ndarray, shapes: Sequence[Tuple[int, int]], l_split: Sequence[int]
+) -> jnp.ndarray:
+    """ys: (B, 4, C, L_cat); shapes: [(H_i, W_i)]. Inverse of
+    cross_scan_multiscale: per-scale inverse flip/transpose, then sum over
+    directions (MambaSkip.py:454-473). Returns (B, C, L_cat)."""
+    B, K, C, L = ys.shape
+    offsets = [0]
+    for l in l_split:
+        offsets.append(offsets[-1] + l)
+    merged = []
+    for i, (H, W) in enumerate(shapes):
+        sl = slice(offsets[i], offsets[i + 1])
+        merged.append(cross_merge_2d(ys[..., sl], H, W))
+    return jnp.concatenate(merged, axis=-1)
