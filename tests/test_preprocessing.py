@@ -1,0 +1,229 @@
+"""Offline pipeline tests: resampling parity (vs torch/scipy ground truths),
+cropping, normalization, fingerprint -> plan -> preprocess on a synthetic
+dataset."""
+import os
+
+import numpy as np
+import pytest
+
+from mlagg_unet_tpu.preprocessing import resampling
+from mlagg_unet_tpu.preprocessing.cropping import crop_to_nonzero
+from mlagg_unet_tpu.preprocessing.normalization import (
+    CTNormalization,
+    ZScoreNormalization,
+)
+
+
+def test_resize_matches_torch_bilinear_center_alignment(rng):
+    """Our _resize(order=1) uses the pixel-center mapping; cross-check
+    against torch's align_corners=False bilinear interpolate."""
+    torch = pytest.importorskip("torch")
+    x = rng.rand(17, 23).astype(np.float32)
+    out = resampling._resize(x, (34, 46), order=1)
+    t = torch.nn.functional.interpolate(
+        torch.from_numpy(x)[None, None], size=(34, 46), mode="bilinear",
+        align_corners=False,
+    )[0, 0].numpy()
+    # interior must match tightly; edges differ (edge-replicate vs bilinear)
+    np.testing.assert_allclose(out[2:-2, 2:-2], t[2:-2, 2:-2], atol=2e-5)
+
+
+def test_resize_identity():
+    x = np.arange(12, dtype=np.float32).reshape(3, 4)
+    np.testing.assert_allclose(resampling._resize(x, (3, 4), order=3), x)
+
+
+def test_resize_segmentation_preserves_labels(rng):
+    seg = rng.randint(0, 4, (20, 20)).astype(np.int8)
+    out = resampling.resize_segmentation(seg, (40, 40), order=1)
+    assert set(np.unique(out)).issubset(set(np.unique(seg)))
+    assert out.shape == (40, 40)
+    # nearest at order 0
+    out0 = resampling.resize_segmentation(seg, (40, 40), order=0)
+    assert set(np.unique(out0)).issubset(set(np.unique(seg)))
+
+
+def test_compute_new_shape():
+    got = resampling.compute_new_shape([100, 50, 50], [1.0, 2.0, 2.0],
+                                       [2.0, 1.0, 1.0])
+    np.testing.assert_array_equal(got, [50, 100, 100])
+
+
+def test_separate_z_resampling(rng):
+    data = rng.rand(1, 8, 32, 32).astype(np.float32)
+    out = resampling.resample_data_or_seg_to_shape(
+        data, (16, 64, 64), (5.0, 1.0, 1.0), (2.5, 0.5, 0.5),
+        is_seg=False, order=3, order_z=0, force_separate_z=None,
+    )
+    assert out.shape == (1, 16, 64, 64)
+    assert np.isfinite(out).all()
+
+
+def test_crop_to_nonzero():
+    data = np.zeros((1, 10, 10, 10), np.float32)
+    data[0, 2:8, 3:7, 1:9] = 1.0
+    seg = np.zeros((1, 10, 10, 10), np.int8)
+    seg[0, 4, 4, 4] = 2
+    d, s, bbox = crop_to_nonzero(data, seg)
+    assert d.shape == (1, 6, 4, 8)
+    assert bbox == [[2, 8], [3, 7], [1, 9]]
+    assert s[0, 2, 1, 3] == 2
+    # cross shape: bbox corners are outside the mask -> seg = -1 there
+    data2 = np.zeros((1, 7, 7, 7), np.float32)
+    data2[0, 3, 1:6, 1:6] = 1
+    data2[0, 1:6, 3, 3] = 1
+    d2, s2, _ = crop_to_nonzero(data2, None)
+    assert s2.min() == -1
+    assert s2[0, 2, 2, 2] == 0  # center (in-mask) stays 0
+
+
+def test_normalization_schemes(rng):
+    img = rng.rand(10, 10) * 100
+    z = ZScoreNormalization(use_mask_for_norm=False, intensityproperties={})
+    out = z.run(img.copy())
+    np.testing.assert_allclose(out.mean(), 0, atol=1e-5)
+    np.testing.assert_allclose(out.std(), 1, atol=1e-4)
+
+    ct = CTNormalization(intensityproperties={
+        "mean": 50.0, "std": 25.0, "percentile_00_5": 5.0,
+        "percentile_99_5": 95.0,
+    })
+    out = ct.run(img.copy())
+    assert out.max() <= (95 - 50) / 25 + 1e-5
+    assert out.min() >= (5 - 50) / 25 - 1e-5
+
+
+@pytest.fixture(scope="module")
+def synth_env(tmp_path_factory):
+    """Synthetic raw dataset + env-pointed folders."""
+    root = tmp_path_factory.mktemp("data")
+    raw = root / "nnUNet_raw"
+    pre = root / "nnUNet_preprocessed"
+    res = root / "nnUNet_results"
+    for d in (raw, pre, res):
+        d.mkdir()
+    from mlagg_unet_tpu import paths
+
+    paths.nnUNet_raw = str(raw)
+    paths.nnUNet_preprocessed = str(pre)
+    paths.nnUNet_results = str(res)
+
+    from mlagg_unet_tpu.utils.synthetic_data import generate_synthetic_dataset
+
+    generate_synthetic_dataset(str(raw), "Dataset999_Synth", num_train=6,
+                               num_test=1, shape=(20, 28, 24))
+    return {"raw": str(raw), "pre": str(pre), "res": str(res)}
+
+
+def test_fingerprint_plan_preprocess(synth_env):
+    from mlagg_unet_tpu.plans.fingerprint import DatasetFingerprintExtractor
+    from mlagg_unet_tpu.plans.experiment_planner import ExperimentPlanner
+    from mlagg_unet_tpu.plans.plans_handler import PlansManager
+    from mlagg_unet_tpu.preprocessing.preprocessor import DefaultPreprocessor
+    from mlagg_unet_tpu.utils.helpers import join, load_json
+
+    fp = DatasetFingerprintExtractor("Dataset999_Synth", num_processes=1).run()
+    assert len(fp["spacings"]) == 6
+    assert "0" in {str(k) for k in
+                   fp["foreground_intensity_properties_per_channel"].keys()}
+
+    planner = ExperimentPlanner("Dataset999_Synth")
+    plans = planner.plan_experiment()
+    assert "2d" in plans["configurations"]
+    assert "3d_fullres" in plans["configurations"]
+    cfg3d = plans["configurations"]["3d_fullres"]
+    assert len(cfg3d["patch_size"]) == 3
+    assert cfg3d["batch_size"] >= 2
+    # patch must be divisible by 2**num_pool per axis
+    for p, npool in zip(cfg3d["patch_size"], cfg3d["num_pool_per_axis"]):
+        assert p % (2 ** npool) == 0
+
+    pm = PlansManager(join(synth_env["pre"], "Dataset999_Synth",
+                           "nnUNetPlans.json"))
+    pp = DefaultPreprocessor()
+    pp.run("Dataset999_Synth", "3d_fullres", num_processes=1)
+
+    out_dir = join(synth_env["pre"], "Dataset999_Synth",
+                   "nnUNetPlans_3d_fullres")
+    import os as _os
+
+    npzs = [f for f in _os.listdir(out_dir) if f.endswith(".npz")]
+    assert len(npzs) == 6
+    arr = np.load(join(out_dir, npzs[0]))
+    assert arr["data"].ndim == 4
+    assert arr["seg"].ndim == 4
+    # class locations present
+    from mlagg_unet_tpu.utils.helpers import load_pickle
+
+    props = load_pickle(join(out_dir, npzs[0][:-4] + ".pkl"))
+    assert "class_locations" in props
+    assert any(len(v) > 0 for v in props["class_locations"].values())
+
+
+def test_dataloader_and_augmentation(synth_env):
+    from mlagg_unet_tpu.data.dataset import nnUNetDataset, unpack_dataset
+    from mlagg_unet_tpu.data.loader import nnUNetDataLoader2D, nnUNetDataLoader3D
+    from mlagg_unet_tpu.data.augment import TrainingTransforms, get_patch_size
+    from mlagg_unet_tpu.utils.helpers import join
+
+    folder = join(synth_env["pre"], "Dataset999_Synth",
+                  "nnUNetPlans_3d_fullres")
+    unpack_dataset(folder, num_processes=1)
+    ds = nnUNetDataset(folder)
+    assert len(ds) == 6
+    data, seg, props = ds.load_case(list(ds.keys())[0])
+    assert data.ndim == 4 and seg.ndim == 4
+
+    patch = [16, 16, 16]
+    rotation = {"x": (-0.5, 0.5), "y": (-0.5, 0.5), "z": (-0.5, 0.5)}
+    inflated = list(get_patch_size(patch, rotation["x"], rotation["y"],
+                                   rotation["z"], (0.85, 1.25)))
+    tfs = TrainingTransforms(patch, rotation, mirror_axes=(0, 1, 2))
+    dl = nnUNetDataLoader3D(ds, batch_size=3, patch_size=inflated,
+                            final_patch_size=patch,
+                            oversample_foreground_percent=0.33,
+                            transforms=tfs, seed=0)
+    batch = dl.generate_train_batch()
+    assert batch["data"].shape == (3, 16, 16, 16, 1)
+    assert batch["target"].shape == (3, 16, 16, 16)
+    assert batch["target"].min() >= 0  # -1 removed
+    assert np.isfinite(batch["data"]).all()
+
+    # 2D loader over 3D volumes
+    patch2 = [16, 16]
+    rot2 = {"x": (-3.14, 3.14), "y": (0, 0), "z": (0, 0)}
+    inflated2 = list(get_patch_size(patch2, rot2["x"], rot2["y"], rot2["z"],
+                                    (0.85, 1.25)))
+    tfs2 = TrainingTransforms(patch2, rot2, mirror_axes=(0, 1))
+    dl2 = nnUNetDataLoader2D(ds, batch_size=4, patch_size=inflated2,
+                             final_patch_size=patch2,
+                             oversample_foreground_percent=0.5,
+                             transforms=tfs2, seed=0)
+    b2 = dl2.generate_train_batch()
+    assert b2["data"].shape == (4, 16, 16, 1)
+    assert b2["target"].shape == (4, 16, 16)
+
+    # fg oversampling actually yields foreground in forced samples (mostly)
+    fg_counts = [int((b2["target"][i] > 0).sum()) for i in range(4)]
+    assert sum(c > 0 for c in fg_counts) >= 1
+
+
+def test_nifti_roundtrip(tmp_path, rng):
+    from mlagg_unet_tpu.imageio.nifti_io import NiftiIO, read_nifti, write_nifti
+
+    arr = (rng.rand(10, 12, 14) * 100).astype(np.float32)
+    f = str(tmp_path / "x.nii.gz")
+    write_nifti(f, arr, (1.5, 2.0, 2.5))
+    back, hdr = read_nifti(f)
+    np.testing.assert_allclose(back, arr, rtol=1e-6)
+    np.testing.assert_allclose(hdr["pixdim"][:3], (1.5, 2.0, 2.5))
+
+    io = NiftiIO()
+    img, props = io.read_images([f])
+    assert img.shape == (1, 14, 12, 10)  # (c, z, y, x) index order
+    np.testing.assert_allclose(props["spacing"], (2.5, 2.0, 1.5))
+    seg = (rng.rand(14, 12, 10) * 3).astype(np.uint8)
+    f2 = str(tmp_path / "seg.nii.gz")
+    io.write_seg(seg, f2, props)
+    seg_back, _ = io.read_seg(f2)
+    np.testing.assert_array_equal(seg_back[0], seg)

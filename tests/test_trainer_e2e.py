@@ -1,0 +1,163 @@
+"""End-to-end slice: synthetic dataset -> fingerprint -> plan -> preprocess ->
+train 2 mini-epochs (dynamic UNet, 3d + 2d) on the 8-device CPU mesh ->
+sliding-window predict -> evaluate. The miniature equivalent of the
+reference's integration tests (which require GPUs; ours runs anywhere)."""
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def trained_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    raw = root / "nnUNet_raw"
+    pre = root / "nnUNet_preprocessed"
+    res = root / "nnUNet_results"
+    for d in (raw, pre, res):
+        d.mkdir()
+    from mlagg_unet_tpu import paths
+
+    paths.nnUNet_raw = str(raw)
+    paths.nnUNet_preprocessed = str(pre)
+    paths.nnUNet_results = str(res)
+
+    from mlagg_unet_tpu.utils.synthetic_data import generate_synthetic_dataset
+    from mlagg_unet_tpu.plans.fingerprint import DatasetFingerprintExtractor
+    from mlagg_unet_tpu.plans.experiment_planner import ExperimentPlanner
+    from mlagg_unet_tpu.preprocessing.preprocessor import DefaultPreprocessor
+    from mlagg_unet_tpu.utils.helpers import join, load_json
+
+    generate_synthetic_dataset(str(raw), "Dataset998_E2E", num_train=6,
+                               num_test=0, shape=(18, 26, 22), seed=3)
+    DatasetFingerprintExtractor("Dataset998_E2E", num_processes=1).run()
+    ExperimentPlanner("Dataset998_E2E").plan_experiment()
+
+    # shrink to test scale: tiny patches, batch 8 (divides the 8-dev mesh)
+    plans_file = join(str(pre), "Dataset998_E2E", "nnUNetPlans.json")
+    plans = load_json(plans_file)
+    for cfg_name in ("3d_fullres", "2d"):
+        if cfg_name not in plans["configurations"]:
+            continue
+        cfg = plans["configurations"][cfg_name]
+        dim = len(cfg["patch_size"])
+        cfg["patch_size"] = [16] * dim
+        cfg["batch_size"] = 8
+        n_stages = 2
+        cfg["pool_op_kernel_sizes"] = [[1] * dim, [2] * dim]
+        cfg["conv_kernel_sizes"] = [[3] * dim, [3] * dim]
+        cfg["n_conv_per_stage_encoder"] = [1, 1]
+        cfg["n_conv_per_stage_decoder"] = [1]
+        cfg["num_pool_per_axis"] = [1] * dim
+        cfg["UNet_base_num_features"] = 8
+    from mlagg_unet_tpu.utils.helpers import save_json
+
+    save_json(plans, plans_file, sort_keys=False)
+
+    pp = DefaultPreprocessor()
+    pp.run("Dataset998_E2E", "3d_fullres", num_processes=1)
+    pp.run("Dataset998_E2E", "2d", num_processes=1)
+    return {"raw": str(raw), "pre": str(pre), "res": str(res)}
+
+
+def _make_trainer(trained_env, configuration, trainer_name="nnUNetTrainer_1epochs"):
+    from mlagg_unet_tpu.training.trainer import NNUNetTrainerTPU
+    from mlagg_unet_tpu.training.registry import TRAINER_REGISTRY, replace
+
+    from mlagg_unet_tpu.utils.helpers import join, load_json
+
+    plans = load_json(join(trained_env["pre"], "Dataset998_E2E",
+                           "nnUNetPlans.json"))
+    dataset_json = load_json(join(trained_env["pre"], "Dataset998_E2E",
+                                  "dataset.json"))
+    # tiny run: 2 epochs x 4 iters
+    from mlagg_unet_tpu.training import registry as reg
+
+    cfg = reg.TRAINER_REGISTRY["nnUNetTrainer_1epochs"]
+    from dataclasses import replace as dc_replace
+
+    reg.TRAINER_REGISTRY["_test_tiny"] = dc_replace(
+        cfg, name="_test_tiny", num_epochs=2, num_iterations_per_epoch=4,
+        num_val_iterations_per_epoch=2,
+    )
+    return NNUNetTrainerTPU(plans, configuration, 0, dataset_json,
+                            trainer_name="_test_tiny")
+
+
+def test_train_3d_and_predict(trained_env):
+    import jax
+
+    trainer = _make_trainer(trained_env, "3d_fullres")
+    trainer.run_training()
+
+    from mlagg_unet_tpu.utils.helpers import join
+
+    out = trainer.output_folder
+    assert os.path.isfile(join(out, "checkpoint_final.ckpt"))
+    assert os.path.isfile(join(out, "checkpoint_best.ckpt"))
+    lg = trainer.logger.my_fantastic_logging
+    assert len(lg["train_losses"]) == 2
+    assert all(np.isfinite(l) for l in lg["train_losses"])
+
+    # loss should decrease or at least stay finite on synthetic data
+    # (2 epochs x 4 iters is too short to assert improvement robustly)
+
+    # sliding-window prediction with the trained params
+    from mlagg_unet_tpu.inference.sliding_window import (
+        predict_sliding_window_return_logits,
+    )
+    from mlagg_unet_tpu.data.dataset import nnUNetDataset
+
+    ds = nnUNetDataset(trainer.preprocessed_dataset_folder)
+    data, seg, props = ds.load_case(list(ds.keys())[0])
+    logits = predict_sliding_window_return_logits(
+        trainer.network.apply, trainer.params, np.asarray(data),
+        trainer.configuration_manager.patch_size,
+        trainer.label_manager.num_segmentation_heads,
+        mirror_axes=(0, 1, 2), tile_batch_size=4,
+    )
+    assert logits.shape == (3, *data.shape[1:])
+    assert np.isfinite(logits).all()
+
+
+def test_train_2d_flagship_tiny(trained_env):
+    """Flagship-architecture training smoke at toy scale (2D config)."""
+    from mlagg_unet_tpu.training.trainer import NNUNetTrainerTPU
+    from mlagg_unet_tpu.training import registry as reg
+    from mlagg_unet_tpu.utils.helpers import join, load_json
+    from dataclasses import replace as dc_replace
+
+    plans = load_json(join(trained_env["pre"], "Dataset998_E2E",
+                           "nnUNetPlans.json"))
+    dataset_json = load_json(join(trained_env["pre"], "Dataset998_E2E",
+                                  "dataset.json"))
+
+    flag = reg.TRAINER_REGISTRY["nnUNetTrainer_MLAgg_2D_dt_MS"]
+    reg.TRAINER_REGISTRY["_test_flag"] = dc_replace(
+        flag, name="_test_flag", num_epochs=1, num_iterations_per_epoch=2,
+        num_val_iterations_per_epoch=1,
+    )
+    # flagship needs patch divisible by 32 (2*2^4); bump patch size
+    plans["configurations"]["2d"]["patch_size"] = [32, 32]
+    plans["configurations"]["2d"]["batch_size"] = 8
+
+    trainer = NNUNetTrainerTPU(plans, "2d", 0, dataset_json,
+                               trainer_name="_test_flag")
+    trainer.run_training()
+    lg = trainer.logger.my_fantastic_logging
+    assert len(lg["train_losses"]) == 1
+    assert np.isfinite(lg["train_losses"][0])
+
+
+def test_kfold_split_determinism():
+    from mlagg_unet_tpu.training.trainer import kfold_like_sklearn
+
+    keys = [f"case_{i:03d}" for i in range(11)]
+    s1 = kfold_like_sklearn(keys, 5)
+    s2 = kfold_like_sklearn(keys, 5)
+    assert s1 == s2
+    assert len(s1) == 5
+    all_val = [k for s in s1 for k in s["val"]]
+    assert sorted(all_val) == sorted(keys)  # every case in exactly one val
+    sizes = [len(s["val"]) for s in s1]
+    assert sizes == [3, 2, 2, 2, 2]
