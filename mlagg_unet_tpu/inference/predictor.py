@@ -22,10 +22,7 @@ from mlagg_unet_tpu.inference.export import (
     export_prediction_from_logits,
     resample_and_save,
 )
-from mlagg_unet_tpu.inference.sliding_window import (
-    make_tile_predictor,
-    predict_sliding_window_return_logits,
-)
+from mlagg_unet_tpu.inference.sliding_window import VolumePredictor
 from mlagg_unet_tpu.plans.fingerprint import (
     create_lists_from_splitted_dataset_folder,
     get_identifiers_from_splitted_dataset_folder,
@@ -59,12 +56,18 @@ class NNUNetPredictor:
         tile_batch_size: int = 8,
         verbose: bool = False,
         allow_tqdm: bool = False,
+        compute_dtype="bfloat16",
     ):
         self.tile_step_size = tile_step_size
         self.use_gaussian = use_gaussian
         self.use_mirroring = use_mirroring
         self.tile_batch_size = tile_batch_size
         self.verbose = verbose
+        import jax.numpy as jnp
+
+        self.compute_dtype = (getattr(jnp, compute_dtype)
+                              if isinstance(compute_dtype, str) and
+                              compute_dtype else compute_dtype)
 
         self.network = None
         self.list_of_parameters: List = []
@@ -74,6 +77,7 @@ class NNUNetPredictor:
         self.trainer_name = None
         self.allowed_mirroring_axes: Tuple[int, ...] = ()
         self.label_manager = None
+        self._volume_predictors = None
 
     # ------------------------------------------------------------------
     def initialize_from_trained_model_folder(
@@ -158,17 +162,19 @@ class NNUNetPredictor:
         num_classes = self.label_manager.num_segmentation_heads
         mirror_axes = self.allowed_mirroring_axes if self.use_mirroring else ()
 
+        if not hasattr(self, "_volume_predictors") or \
+                self._volume_predictors is None:
+            self._volume_predictors = [
+                VolumePredictor(
+                    self.network.apply, params, tile_size, num_classes,
+                    mirror_axes, self.tile_batch_size, self.use_gaussian,
+                    compute_dtype=self.compute_dtype,
+                )
+                for params in self.list_of_parameters
+            ]
         predicted = None
-        for params in self.list_of_parameters:
-            predictor = make_tile_predictor(
-                self.network.apply, params, tile_size, num_classes,
-                mirror_axes, self.tile_batch_size,
-            )
-            logits = predict_sliding_window_return_logits(
-                self.network.apply, params, data, tile_size, num_classes,
-                mirror_axes, self.tile_step_size, self.tile_batch_size,
-                self.use_gaussian, precomputed_predictor=predictor,
-            )
+        for vp in self._volume_predictors:
+            logits = vp(data)
             predicted = logits if predicted is None else predicted + logits
         return predicted / len(self.list_of_parameters)
 

@@ -108,11 +108,22 @@ def make_tile_predictor(
     num_classes: int,
     mirror_axes: Tuple[int, ...] = (),
     tile_batch_size: int = 8,
+    compute_dtype=None,
 ):
     """Returns a jitted fn: (tiles (T, *tile, C)) -> logits (T, *tile, K),
-    averaging over all mirror variants in a single network call."""
+    averaging over all mirror variants in a single network call.
+
+    compute_dtype=bfloat16 casts params + activations for the forward (the
+    TPU analogue of the reference's AMP inference); logits return fp32.
+    """
     combos = _mirror_variants(tuple(mirror_axes))
     dim = len(tile_size)
+    if compute_dtype is not None and compute_dtype != jnp.float32:
+        cast_params = jax.tree_util.tree_map(
+            lambda p: p.astype(compute_dtype), params
+        )
+    else:
+        cast_params = params
 
     def predict(tiles):
         # stack mirror variants on batch: (V*T, *tile, C)
@@ -123,7 +134,9 @@ def make_tile_predictor(
                 v = jnp.flip(v, axis=1 + ax)
             variants.append(v)
         stacked = jnp.concatenate(variants, axis=0)
-        out = apply_fn({"params": params}, stacked)
+        if compute_dtype is not None:
+            stacked = stacked.astype(compute_dtype)
+        out = apply_fn({"params": cast_params}, stacked)
         if isinstance(out, (list, tuple)):
             out = out[0]
         out = out.astype(jnp.float32)
@@ -201,16 +214,11 @@ def predict_sliding_window_return_logits(
     spatial = data.shape[1:]
 
     if dim == len(spatial) - 1:
-        # 2D network over a 3D volume: treat z as extra batch of cases
-        out = [
-            predict_sliding_window_return_logits(
-                apply_fn, params, data[:, z], tile_size, num_classes,
-                mirror_axes, tile_step_size, tile_batch_size, use_gaussian,
-                precomputed_predictor=precomputed_predictor,
-            )
-            for z in range(spatial[0])
-        ]
-        return np.stack(out, axis=1)
+        return _predict_2d_over_3d(
+            apply_fn, params, data, tile_size, num_classes, mirror_axes,
+            tile_step_size, tile_batch_size, use_gaussian,
+            precomputed_predictor,
+        )
 
     assert dim == len(spatial)
 
@@ -256,3 +264,210 @@ def predict_sliding_window_return_logits(
     logits_np = np.moveaxis(np.asarray(logits), -1, 0)
     slicer = tuple([slice(None)] + [slice(lo, hi) for lo, hi in bounds])
     return logits_np[slicer]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_shape",))
+def _gather_tiles_z(volume, positions, tile_shape):
+    """volume: (Z, H, W, C); positions: (T, 3) of (z, y, x) ->
+    (T, *tile_shape, C) in-plane tiles."""
+
+    def one(pos):
+        t = jax.lax.dynamic_slice(
+            volume, (pos[0], pos[1], pos[2], 0),
+            (1, *tile_shape, volume.shape[-1]),
+        )
+        return t[0]
+
+    return jax.vmap(one)(positions)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _scatter_add_tiles_z(logits_acc, n_acc, tile_logits, gaussian, positions,
+                         valid):
+    """logits_acc: (Z, H, W, K); n_acc: (Z, H, W); tile_logits:
+    (T, ty, tx, K); positions: (T, 3)."""
+    ty, tx = tile_logits.shape[1:3]
+    K = tile_logits.shape[-1]
+
+    def body(i, carry):
+        acc, n = carry
+        z, y, x = positions[i, 0], positions[i, 1], positions[i, 2]
+        w = gaussian * valid[i]
+        contrib = (tile_logits[i] * w[..., None])[None]
+        cur = jax.lax.dynamic_slice(acc, (z, y, x, 0), (1, ty, tx, K))
+        acc = jax.lax.dynamic_update_slice(acc, cur + contrib, (z, y, x, 0))
+        cur_n = jax.lax.dynamic_slice(n, (z, y, x), (1, ty, tx))
+        n = jax.lax.dynamic_update_slice(n, cur_n + w[None], (z, y, x))
+        return acc, n
+
+    return jax.lax.fori_loop(0, tile_logits.shape[0], body,
+                             (logits_acc, n_acc))
+
+
+class VolumePredictor:
+    """Whole-volume sliding-window prediction as ONE jitted call: a
+    lax.fori_loop over fixed-size tile batches where each iteration gathers
+    tiles, runs all mirror variants through the network in a single forward,
+    and Gaussian-scatter-adds into the device-resident accumulator. Zero
+    host round-trips inside a volume (one upload, one logits download).
+
+    Jitted functions are cached per (volume shape, tile count) — nnU-Net
+    cases within a dataset cluster into few shapes after padding.
+    """
+
+    def __init__(self, apply_fn, params, tile_size, num_classes,
+                 mirror_axes=(), tile_batch_size=8, use_gaussian=True,
+                 compute_dtype=None):
+        self.apply_fn = apply_fn
+        self.params = params
+        self.tile_size = tuple(tile_size)
+        self.num_classes = num_classes
+        self.mirror_axes = tuple(mirror_axes)
+        self.tb = tile_batch_size
+        self.use_gaussian = use_gaussian
+        self.compute_dtype = compute_dtype
+        self.combos = _mirror_variants(self.mirror_axes)
+        if compute_dtype is not None and compute_dtype != jnp.float32:
+            self.cast_params = jax.tree_util.tree_map(
+                lambda p: p.astype(compute_dtype), params)
+        else:
+            self.cast_params = params
+        self._cache = {}
+
+    def _predict_tiles(self, tiles):
+        """(T, *tile, C) -> fp32 (T, *tile, K), TTA-averaged."""
+        variants = []
+        for combo in self.combos:
+            v = tiles
+            for ax in combo:
+                v = jnp.flip(v, axis=1 + ax)
+            variants.append(v)
+        stacked = jnp.concatenate(variants, axis=0)
+        if self.compute_dtype is not None:
+            stacked = stacked.astype(self.compute_dtype)
+        out = self.apply_fn({"params": self.cast_params}, stacked)
+        if isinstance(out, (list, tuple)):
+            out = out[0]
+        out = out.astype(jnp.float32)
+        T = tiles.shape[0]
+        acc = jnp.zeros((T, *self.tile_size, self.num_classes), jnp.float32)
+        for i, combo in enumerate(self.combos):
+            o = out[i * T: (i + 1) * T]
+            for ax in combo:
+                o = jnp.flip(o, axis=1 + ax)
+            acc = acc + o
+        return acc / len(self.combos)
+
+    def _build(self, vol_shape, n_batches, z_mode):
+        tile = self.tile_size
+        K = self.num_classes
+        tb = self.tb
+        d = len(tile)
+
+        def run(volume, positions, valid, gaussian):
+            acc = jnp.zeros((*vol_shape, K), jnp.float32)
+            n = jnp.zeros(vol_shape, jnp.float32)
+
+            def gather_one(pos):
+                if z_mode:
+                    t = jax.lax.dynamic_slice(
+                        volume, (pos[0], pos[1], pos[2], 0),
+                        (1, *tile, volume.shape[-1]))
+                    return t[0]
+                idx = tuple(pos[i] for i in range(d))
+                return jax.lax.dynamic_slice(
+                    volume, (*idx, 0), (*tile, volume.shape[-1]))
+
+            def body(b, carry):
+                acc, n = carry
+                pos = jax.lax.dynamic_slice(positions, (b * tb, 0),
+                                            (tb, positions.shape[1]))
+                val = jax.lax.dynamic_slice(valid, (b * tb,), (tb,))
+                tiles = jax.vmap(gather_one)(pos)
+                tl = self._predict_tiles(tiles)
+
+                def scatter(i, carry):
+                    acc, n = carry
+                    w = gaussian * val[i]
+                    if z_mode:
+                        z, y, x = pos[i, 0], pos[i, 1], pos[i, 2]
+                        contrib = (tl[i] * w[..., None])[None]
+                        cur = jax.lax.dynamic_slice(
+                            acc, (z, y, x, 0), (1, *tile, K))
+                        acc = jax.lax.dynamic_update_slice(
+                            acc, cur + contrib, (z, y, x, 0))
+                        cur_n = jax.lax.dynamic_slice(n, (z, y, x),
+                                                      (1, *tile))
+                        n = jax.lax.dynamic_update_slice(
+                            n, cur_n + w[None], (z, y, x))
+                    else:
+                        idx = tuple(pos[i, j] for j in range(d))
+                        contrib = tl[i] * w[..., None]
+                        cur = jax.lax.dynamic_slice(acc, (*idx, 0),
+                                                    (*tile, K))
+                        acc = jax.lax.dynamic_update_slice(
+                            acc, cur + contrib, (*idx, 0))
+                        cur_n = jax.lax.dynamic_slice(n, idx, tile)
+                        n = jax.lax.dynamic_update_slice(n, cur_n + w, idx)
+                    return acc, n
+
+                return jax.lax.fori_loop(0, tb, scatter, (acc, n))
+
+            acc, n = jax.lax.fori_loop(0, n_batches, body, (acc, n))
+            return acc / n[..., None]
+
+        return jax.jit(run)
+
+    def __call__(self, data: np.ndarray) -> np.ndarray:
+        """data: (c, *spatial) host array -> fp32 logits (K, *spatial)."""
+        tile = self.tile_size
+        d = len(tile)
+        spatial = data.shape[1:]
+        z_mode = d == len(spatial) - 1
+        assert z_mode or d == len(spatial)
+
+        padded, bounds = pad_to_min_size(data, tile)
+        vol_shape = padded.shape[1:]
+        if z_mode:
+            Z = vol_shape[0]
+            inplane = get_tile_positions(vol_shape[1:], tile, 0.5)
+            positions = np.concatenate([
+                np.concatenate([np.full((len(inplane), 1), z, np.int32),
+                                inplane], axis=1)
+                for z in range(Z)
+            ])
+        else:
+            positions = get_tile_positions(vol_shape, tile, 0.5)
+
+        n_tiles = len(positions)
+        pad_n = (-n_tiles) % self.tb
+        valid = np.ones(n_tiles, np.float32)
+        if pad_n:
+            positions = np.concatenate(
+                [positions, np.zeros((pad_n, positions.shape[1]), np.int32)])
+            valid = np.concatenate([valid, np.zeros(pad_n, np.float32)])
+        n_batches = len(positions) // self.tb
+
+        key = (vol_shape, n_batches, z_mode)
+        if key not in self._cache:
+            self._cache[key] = self._build(vol_shape, n_batches, z_mode)
+        run = self._cache[key]
+
+        gaussian = (compute_gaussian(tile) if self.use_gaussian
+                    else np.ones(tile, np.float32))
+        volume = jnp.asarray(np.moveaxis(padded, 0, -1))
+        logits = run(volume, jnp.asarray(positions), jnp.asarray(valid),
+                     jnp.asarray(gaussian))
+        logits_np = np.moveaxis(np.asarray(logits), -1, 0)
+        lead = [slice(None)] * (1 + (1 if z_mode else 0))
+        slicer = tuple(lead + [slice(lo, hi) for lo, hi in bounds[-d:]])
+        return logits_np[slicer]
+
+
+def _predict_2d_over_3d(apply_fn, params, data, tile_size, num_classes,
+                        mirror_axes, tile_step_size, tile_batch_size,
+                        use_gaussian, precomputed_predictor):
+    """2D network over a 3D volume via the fused VolumePredictor."""
+    vp = VolumePredictor(apply_fn, params, tile_size, num_classes,
+                         mirror_axes, tile_batch_size, use_gaussian)
+    return vp(data)

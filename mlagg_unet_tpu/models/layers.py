@@ -142,9 +142,17 @@ class ChannelGroupNorm(nn.Module):
         return nn.GroupNorm(num_groups=x.shape[-1], epsilon=self.eps)(x)
 
 
-class ConvTranspose2dTorch(nn.Module):
-    """Transposed conv with torch ConvTranspose2d(k, s, p) output arithmetic:
-    out = (in - 1) * s - 2p + k."""
+def conv_dim_numbers(spatial_dims: int):
+    if spatial_dims == 2:
+        return ("NHWC", "HWIO", "NHWC")
+    if spatial_dims == 3:
+        return ("NDHWC", "DHWIO", "NDHWC")
+    raise ValueError(spatial_dims)
+
+
+class ConvTransposeTorch(nn.Module):
+    """Transposed conv with torch ConvTransposeNd(k, s, p) output arithmetic:
+    out = (in - 1) * s - 2p + k. N-D (channels-last), supports groups."""
 
     features: int
     kernel_size: int
@@ -152,26 +160,28 @@ class ConvTranspose2dTorch(nn.Module):
     padding: int = 0
     feature_group_count: int = 1
     use_bias: bool = True
+    spatial_dims: int = 2
 
     @nn.compact
     def __call__(self, x):
         k, s, p = self.kernel_size, self.stride, self.padding
+        d = self.spatial_dims
         cin = x.shape[-1]
         assert cin % self.feature_group_count == 0
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
-            (k, k, cin // self.feature_group_count, self.features),
+            (*(k,) * d, cin // self.feature_group_count, self.features),
         )
         # fractionally-strided conv: lhs_dilation=s + padding (k-1-p) gives
         # the torch output size (in-1)*s - 2p + k; supports groups
         y = jax.lax.conv_general_dilated(
             x,
             kernel.astype(x.dtype),
-            window_strides=(1, 1),
-            padding=((k - 1 - p, k - 1 - p), (k - 1 - p, k - 1 - p)),
-            lhs_dilation=(s, s),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            window_strides=(1,) * d,
+            padding=((k - 1 - p, k - 1 - p),) * d,
+            lhs_dilation=(s,) * d,
+            dimension_numbers=conv_dim_numbers(d),
             feature_group_count=self.feature_group_count,
         )
         if self.use_bias:
@@ -180,22 +190,43 @@ class ConvTranspose2dTorch(nn.Module):
         return y
 
 
+# backward-compat alias (2D)
+ConvTranspose2dTorch = ConvTransposeTorch
+
+
 def pad_top_left(x: jnp.ndarray, amount: int = 1) -> jnp.ndarray:
-    """F.pad(x, (1, 0, 1, 0)) on NHWC: pad top and left of the spatial dims
-    (the reference's shape-matching asymmetry, flagship :533-536)."""
-    return jnp.pad(x, ((0, 0), (amount, 0), (amount, 0), (0, 0)))
+    """F.pad(x, (1, 0, 1, 0[, 1, 0])): pad the leading side of every spatial
+    dim (the reference's shape-matching asymmetry, flagship :533-536)."""
+    pads = [(0, 0)] + [(amount, 0)] * (x.ndim - 2) + [(0, 0)]
+    return jnp.pad(x, pads)
+
+
+def _adaptive_pool_matrix(in_size: int, out_size: int) -> jnp.ndarray:
+    """(out, in) averaging matrix with torch AdaptiveAvgPool bin edges
+    (bin i covers [floor(i*in/out), ceil((i+1)*in/out)))."""
+    import numpy as np
+
+    m = np.zeros((out_size, in_size), np.float32)
+    for i in range(out_size):
+        lo = (i * in_size) // out_size
+        hi = -(-((i + 1) * in_size) // out_size)  # ceil
+        m[i, lo:hi] = 1.0 / (hi - lo)
+    return jnp.asarray(m)
 
 
 def avg_pool_to(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
-    """AdaptiveAvgPool2d for NHWC when spatial dims divide evenly (the only
-    case the planner produces; asserts otherwise)."""
+    """torch AdaptiveAvgPool2d for NHWC. Exact-division cases reduce via
+    reshape-mean; ragged cases use static averaging matrices (MXU matmuls)."""
     B, H, W, C = x.shape
     oh, ow = out_hw
-    assert H % oh == 0 and W % ow == 0, (
-        f"adaptive avg pool needs exact division, got {(H, W)} -> {(oh, ow)}"
-    )
-    x = x.reshape(B, oh, H // oh, ow, W // ow, C)
-    return x.mean(axis=(2, 4))
+    if H % oh == 0 and W % ow == 0:
+        x = x.reshape(B, oh, H // oh, ow, W // ow, C)
+        return x.mean(axis=(2, 4))
+    mh = _adaptive_pool_matrix(H, oh)
+    mw = _adaptive_pool_matrix(W, ow)
+    x = jnp.einsum("oh,bhwc->bowc", mh, x, preferred_element_type=jnp.float32)
+    x = jnp.einsum("pw,bowc->bopc", mw, x, preferred_element_type=jnp.float32)
+    return x.astype(jnp.float32)
 
 
 def trunc_normal_init(std: float = 0.02):

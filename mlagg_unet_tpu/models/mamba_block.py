@@ -1,0 +1,148 @@
+"""Mamba-1 block + single-scale SS2D cell.
+
+TPU-native equivalents of the external CUDA modules the reference's variant
+zoo calls into:
+* ``Mamba`` — mamba_ssm's full block (in_proj -> causal depthwise conv1d +
+  SiLU -> x_proj/dt_proj -> selective scan -> gate -> out_proj), used
+  directly by the U-Mamba trainers (variants/mamba/UMambaBot_2d.py:15,39-64).
+  The causal conv1d CUDA kernel (SURVEY.md N2) becomes a 'causal'-padded
+  depthwise lax conv; the selective-scan CUDA kernel (N1) our chunked
+  associative scan.
+* ``SS2D`` — VMamba's single-scale 4-direction scan cell
+  (MambaSkip.py:33-263, vmamba/vmamba.py SS2Dv0), used by the
+  MedNext-Mambaskip lineage and VMamba-style variants.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mlagg_unet_tpu.models.mamba_skip import (
+    _a_log_init,
+    _dt_proj_bias_init,
+    _dt_proj_weight_init,
+)
+from mlagg_unet_tpu.ops.cross_scan import cross_merge_2d, cross_scan_2d
+from mlagg_unet_tpu.ops.selective_scan import selective_scan
+
+
+class MambaBlock(nn.Module):
+    """mamba_ssm.Mamba equivalent. Input/output: (B, L, d_model)."""
+
+    d_model: int
+    d_state: int = 16
+    d_conv: int = 4
+    expand: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        B, L, _ = x.shape
+        d_inner = self.expand * self.d_model
+        dt_rank = math.ceil(self.d_model / 16)
+
+        xz = nn.Dense(2 * d_inner, use_bias=False, name="in_proj")(x)
+        xh, z = jnp.split(xz, 2, axis=-1)
+
+        # causal depthwise conv1d + SiLU (replaces causal_conv1d CUDA kernel)
+        xh = nn.Conv(
+            d_inner, (self.d_conv,), padding=[(self.d_conv - 1, 0)],
+            feature_group_count=d_inner, name="conv1d",
+        )(xh)
+        xh = jax.nn.silu(xh)
+
+        x_dbl = nn.Dense(dt_rank + 2 * self.d_state, use_bias=False,
+                         name="x_proj")(xh)
+        dt = x_dbl[..., :dt_rank]
+        Bs = x_dbl[..., dt_rank: dt_rank + self.d_state]
+        Cs = x_dbl[..., dt_rank + self.d_state:]
+
+        dt_w = self.param("dt_proj_weight", _dt_proj_weight_init(dt_rank),
+                          (d_inner, dt_rank), jnp.float32)
+        dt_b = self.param("dt_proj_bias", _dt_proj_bias_init(),
+                          (d_inner,), jnp.float32)
+        A_log = self.param("A_log", _a_log_init(1, d_inner, self.d_state),
+                           (1, d_inner, self.d_state), jnp.float32)
+        D = self.param("D", nn.initializers.ones, (d_inner,), jnp.float32)
+
+        dts = jnp.einsum("bld,dr->blr", dt.astype(jnp.float32), dt_w.T)
+        # to scan layout (b, g=1, d, l)
+        u = jnp.swapaxes(xh, 1, 2)[:, None]
+        delta = jnp.swapaxes(dts, 1, 2)[:, None]
+        Bs_s = jnp.swapaxes(Bs, 1, 2)[:, None].astype(jnp.float32)
+        Cs_s = jnp.swapaxes(Cs, 1, 2)[:, None].astype(jnp.float32)
+        A = -jnp.exp(A_log)
+
+        y = selective_scan(
+            u, delta, A, Bs_s, Cs_s, D[None], dt_b[None],
+            delta_softplus=True,
+        )[:, 0]                                        # (B, d_inner, L)
+        y = jnp.swapaxes(y, 1, 2)                      # (B, L, d_inner)
+        y = y * jax.nn.silu(z)
+        return nn.Dense(self.d_model, use_bias=False, name="out_proj")(y)
+
+
+class SS2D(nn.Module):
+    """Single-scale VMamba cell (MambaSkip.py:33-263): in_proj w/ z-gate ->
+    depthwise conv -> 4-direction selective scan -> LN -> gate -> out_proj.
+    Input/output: (B, H, W, d_model)."""
+
+    d_model: int
+    d_state: int = 16
+    d_conv: int = 3
+    expand: float = 2.0
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        B, H, W, _ = x.shape
+        d_inner = int(self.expand * self.d_model)
+        dt_rank = math.ceil(self.d_model / 16)
+        K = 4
+        L = H * W
+
+        xz = nn.Dense(2 * d_inner, use_bias=False, name="in_proj")(x)
+        xh, z = jnp.split(xz, 2, axis=-1)
+        xh = nn.Conv(d_inner, (self.d_conv, self.d_conv), padding="SAME",
+                     feature_group_count=d_inner, name="conv2d")(xh)
+        xh = jax.nn.silu(xh)
+
+        xs = cross_scan_2d(xh)                         # (B, 4, Din, L)
+
+        x_proj_weight = self.param(
+            "x_proj_weight", nn.initializers.lecun_normal(),
+            (K, dt_rank + 2 * self.d_state, d_inner), jnp.float32,
+        )
+        dt_projs_weight = self.param(
+            "dt_projs_weight", _dt_proj_weight_init(dt_rank),
+            (K, d_inner, dt_rank), jnp.float32,
+        )
+        dt_projs_bias = self.param("dt_projs_bias", _dt_proj_bias_init(),
+                                   (K, d_inner), jnp.float32)
+        A_logs = self.param("A_logs",
+                            _a_log_init(K, d_inner, self.d_state),
+                            (K, d_inner, self.d_state), jnp.float32)
+        Ds = self.param("Ds", nn.initializers.ones, (K, d_inner), jnp.float32)
+
+        x_dbl = jnp.einsum("bkdl,kcd->bkcl", xs.astype(jnp.float32),
+                           x_proj_weight, preferred_element_type=jnp.float32)
+        dts = jnp.einsum("bkrl,kdr->bkdl", x_dbl[:, :, :dt_rank],
+                         dt_projs_weight, preferred_element_type=jnp.float32)
+        Bs = x_dbl[:, :, dt_rank: dt_rank + self.d_state]
+        Cs = x_dbl[:, :, dt_rank + self.d_state:]
+        A = -jnp.exp(A_logs)
+
+        out_y = selective_scan(xs, dts, A, Bs, Cs, Ds, dt_projs_bias,
+                               delta_softplus=True)    # (B,4,Din,L)
+        y = cross_merge_2d(out_y, H, W)                # (B,Din,L)
+        y = jnp.swapaxes(y, 1, 2)                      # (B,L,Din)
+        y = nn.LayerNorm(name="out_norm")(y)
+        y = y.reshape(B, H, W, d_inner)
+        y = y * jax.nn.silu(z)
+        y = nn.Dense(self.d_model, use_bias=False, name="out_proj")(y)
+        if self.dropout > 0:
+            y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        return y

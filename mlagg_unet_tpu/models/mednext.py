@@ -1,9 +1,8 @@
-"""MedNeXt blocks and networks (NHWC, 2D and 3D).
+"""MedNeXt blocks (NHWC/NDHWC, 2D and 3D).
 
-Ports of the reference's MedNeXt family: the block variants duplicated in the
-flagship file (nnUNetTrainer_MLAgg_2D_dt_MS.py:230-561) and the full nets in
-network_architecture/mednextv1/ (blocks_new.py:10-282, MedNextV1_new.py,
-create_mednext_v1.py:65).
+Ports of the reference's MedNeXt block variants — duplicated in the flagship
+file (nnUNetTrainer_MLAgg_2D_dt_MS.py:230-561) and in
+network_architecture/mednextv1/blocks_new.py:10-282.
 
 Block: depthwise k-conv -> GroupNorm(one group per channel) -> 1x1 expand
 (GELU, optional GRN) -> 1x1 compress, residual. Down/Up variants swap the
@@ -20,46 +19,47 @@ from flax import linen as nn
 
 from mlagg_unet_tpu.models.layers import (
     ChannelGroupNorm,
-    ConvTranspose2dTorch,
+    ConvTransposeTorch,
     gelu,
     pad_top_left,
 )
 
 
 class MedNeXtBlock(nn.Module):
-    """flagship :230-324 (2D path). NHWC in/out."""
+    """flagship :230-324. NHWC/NDHWC in/out."""
 
     out_channels: int
     exp_r: int = 4
     kernel_size: int = 7
     do_res: bool = True
     grn: bool = False
+    spatial_dims: int = 2
 
     @nn.compact
     def __call__(self, x):
         cin = x.shape[-1]
-        x1 = nn.Conv(
-            cin, (self.kernel_size, self.kernel_size), padding="SAME",
-            feature_group_count=cin, name="conv1",
-        )(x)
+        d = self.spatial_dims
+        k = (self.kernel_size,) * d
+        x1 = nn.Conv(cin, k, padding="SAME", feature_group_count=cin,
+                     name="conv1")(x)
         x1 = ChannelGroupNorm(name="norm")(x1)
-        x1 = gelu(nn.Conv(self.exp_r * cin, (1, 1), name="conv2")(x1))
+        x1 = gelu(nn.Conv(self.exp_r * cin, (1,) * d, name="conv2")(x1))
         if self.grn:
-            grn_beta = self.param("grn_beta", nn.initializers.zeros,
-                                  (1, 1, 1, self.exp_r * cin))
-            grn_gamma = self.param("grn_gamma", nn.initializers.zeros,
-                                   (1, 1, 1, self.exp_r * cin))
-            gx = jnp.sqrt(jnp.sum(x1 * x1, axis=(1, 2), keepdims=True))
+            shape = (1,) * (d + 1) + (self.exp_r * cin,)
+            grn_beta = self.param("grn_beta", nn.initializers.zeros, shape)
+            grn_gamma = self.param("grn_gamma", nn.initializers.zeros, shape)
+            spatial_axes = tuple(range(1, d + 1))
+            gx = jnp.sqrt(jnp.sum(x1 * x1, axis=spatial_axes, keepdims=True))
             nx = gx / (gx.mean(axis=-1, keepdims=True) + 1e-6)
             x1 = grn_gamma * (x1 * nx) + grn_beta + x1
-        x1 = nn.Conv(self.out_channels, (1, 1), name="conv3")(x1)
+        x1 = nn.Conv(self.out_channels, (1,) * d, name="conv3")(x1)
         if self.do_res:
             x1 = x + x1
         return x1
 
 
 class MedNeXtDownBlock(nn.Module):
-    """flagship :327-366: stride-2 depthwise conv1; optional stride-2 1x1
+    """flagship :327-366: stride-s depthwise conv1; optional strided 1x1
     residual."""
 
     out_channels: int
@@ -67,19 +67,22 @@ class MedNeXtDownBlock(nn.Module):
     kernel_size: int = 3
     do_res: bool = True
     grn: bool = False
+    stride: int = 2
+    spatial_dims: int = 2
 
     @nn.compact
     def __call__(self, x):
         cin = x.shape[-1]
-        x1 = nn.Conv(
-            cin, (self.kernel_size, self.kernel_size), strides=(2, 2),
-            padding=self.kernel_size // 2, feature_group_count=cin, name="conv1",
-        )(x)
+        d = self.spatial_dims
+        k = (self.kernel_size,) * d
+        s = (self.stride,) * d
+        x1 = nn.Conv(cin, k, strides=s, padding=self.kernel_size // 2,
+                     feature_group_count=cin, name="conv1")(x)
         x1 = ChannelGroupNorm(name="norm")(x1)
-        x1 = gelu(nn.Conv(self.exp_r * cin, (1, 1), name="conv2")(x1))
-        x1 = nn.Conv(self.out_channels, (1, 1), name="conv3")(x1)
+        x1 = gelu(nn.Conv(self.exp_r * cin, (1,) * d, name="conv2")(x1))
+        x1 = nn.Conv(self.out_channels, (1,) * d, name="conv3")(x1)
         if self.do_res:
-            res = nn.Conv(self.out_channels, (1, 1), strides=(2, 2),
+            res = nn.Conv(self.out_channels, (1,) * d, strides=s,
                           name="res_conv")(x)
             x1 = x1 + res
         return x1
@@ -94,21 +97,24 @@ class MedNeXtUpBlock(nn.Module):
     kernel_size: int = 3
     do_res: bool = True
     grn: bool = False
+    stride: int = 2
+    spatial_dims: int = 2
 
     @nn.compact
     def __call__(self, x):
         cin = x.shape[-1]
-        x1 = ConvTranspose2dTorch(
-            cin, self.kernel_size, 2, self.kernel_size // 2,
-            feature_group_count=cin, name="conv1",
+        d = self.spatial_dims
+        x1 = ConvTransposeTorch(
+            cin, self.kernel_size, self.stride, self.kernel_size // 2,
+            feature_group_count=cin, spatial_dims=d, name="conv1",
         )(x)
         x1 = ChannelGroupNorm(name="norm")(x1)
-        x1 = gelu(nn.Conv(self.exp_r * cin, (1, 1), name="conv2")(x1))
-        x1 = nn.Conv(self.out_channels, (1, 1), name="conv3")(x1)
+        x1 = gelu(nn.Conv(self.exp_r * cin, (1,) * d, name="conv2")(x1))
+        x1 = nn.Conv(self.out_channels, (1,) * d, name="conv3")(x1)
         x1 = pad_top_left(x1)
         if self.do_res:
-            res = ConvTranspose2dTorch(self.out_channels, 1, 2, 0,
-                                       name="res_conv")(x)
+            res = ConvTransposeTorch(self.out_channels, 1, self.stride, 0,
+                                     spatial_dims=d, name="res_conv")(x)
             res = pad_top_left(res)
             x1 = x1 + res
         return x1
@@ -121,18 +127,20 @@ class PatchExpand(nn.Module):
     out_channels: int
     kernel_size: int = 3
     do_res: bool = True
+    spatial_dims: int = 2
 
     @nn.compact
     def __call__(self, x):
+        d = self.spatial_dims
         x1 = ChannelGroupNorm(name="norm")(x)
-        x1 = ConvTranspose2dTorch(
+        x1 = ConvTransposeTorch(
             self.out_channels, self.kernel_size, 2, self.kernel_size // 2,
-            name="conv1",
+            spatial_dims=d, name="conv1",
         )(x1)
         x1 = pad_top_left(x1)
         if self.do_res:
-            res = ConvTranspose2dTorch(self.out_channels, 1, 2, 0,
-                                       name="res_conv")(x)
+            res = ConvTransposeTorch(self.out_channels, 1, 2, 0,
+                                     spatial_dims=d, name="res_conv")(x)
             res = pad_top_left(res)
             x1 = x1 + res
         return x1
@@ -145,4 +153,5 @@ class OutBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(self.n_classes, (1, 1), name="conv_out")(x)
+        d = x.ndim - 2
+        return nn.Conv(self.n_classes, (1,) * d, name="conv_out")(x)

@@ -198,6 +198,21 @@ class DefaultPreprocessor:
         )
         maybe_mkdir_p(output_directory)
 
+        # copy ground-truth segmentations for later evaluation
+        # (reference default_preprocessor.py:214-217)
+        import shutil
+
+        gt_dir = join(paths.nnUNet_preprocessed, dataset_name,
+                      "gt_segmentations")
+        maybe_mkdir_p(gt_dir)
+        for f in subfiles(join(paths.nnUNet_raw, dataset_name, "labelsTr"),
+                          join_path=False):
+            if not os.path.isfile(join(gt_dir, f)):
+                shutil.copy(
+                    join(paths.nnUNet_raw, dataset_name, "labelsTr", f),
+                    join(gt_dir, f),
+                )
+
         from mlagg_unet_tpu.data.dataset import get_case_identifiers_from_raw
 
         identifiers = get_case_identifiers_from_raw(

@@ -88,9 +88,47 @@ def _build_mlla_uper(configuration_manager, num_input_channels,
     )
 
 
+def _build_umamba_bot(configuration_manager, num_input_channels,
+                      num_output_channels, deep_supervision):
+    from mlagg_unet_tpu.models.umamba import umamba_from_plans
+
+    return umamba_from_plans(configuration_manager, num_input_channels,
+                             num_output_channels, deep_supervision, "bot")
+
+
+def _build_umamba_enc(configuration_manager, num_input_channels,
+                      num_output_channels, deep_supervision):
+    from mlagg_unet_tpu.models.umamba import umamba_from_plans
+
+    return umamba_from_plans(configuration_manager, num_input_channels,
+                             num_output_channels, deep_supervision, "enc")
+
+
+def _make_mednext_builder(model_id: str, kernel_size: int,
+                          use_mamba_skip: bool = False):
+    def build(configuration_manager, num_input_channels, num_output_channels,
+              deep_supervision):
+        from mlagg_unet_tpu.models.mednext_net import create_mednext_v1
+
+        dim = len(configuration_manager.patch_size)
+        return create_mednext_v1(
+            num_input_channels, num_output_channels, model_id, kernel_size,
+            deep_supervision, spatial_dims=dim,
+            use_mamba_skip=use_mamba_skip,
+        )
+
+    return build
+
+
 NETWORK_BUILDERS = {
     "plans_unet": _build_plans_unet,
     "mlla_uper": _build_mlla_uper,
+    "umamba_bot": _build_umamba_bot,
+    "umamba_enc": _build_umamba_enc,
+    "mednext_b3": _make_mednext_builder("B", 3),
+    "mednext_b5": _make_mednext_builder("B", 5),
+    "mednext_b3_mambaskip": _make_mednext_builder("B", 3,
+                                                  use_mamba_skip=True),
 }
 
 
@@ -155,3 +193,17 @@ register_trainer(replace(
     TRAINER_REGISTRY["nnUNetTrainer_MLAgg_2D_dt_MS"],
     name="nnUNetTrainer_MLLA_UNet",
 ))
+
+# U-Mamba variants (variants/mamba/nnUNetTrainerUMamba{Bot,Enc}.py)
+register_trainer(replace(_default, name="nnUNetTrainerUMambaBot",
+                         network="umamba_bot"))
+register_trainer(replace(_default, name="nnUNetTrainerUMambaEnc",
+                         network="umamba_enc"))
+
+# MedNeXt trainers (nnUNetTrainer_MedNeXt*.py: AdamW 1e-3-ish recipes)
+register_trainer(replace(_default, name="nnUNetTrainer_MedNeXt",
+                         network="mednext_b3", optimizer="adamw",
+                         initial_lr=1e-3))
+register_trainer(replace(_default, name="nnUNetTrainer_MedNeXt_Mambaskip",
+                         network="mednext_b3_mambaskip", optimizer="adamw",
+                         initial_lr=1e-3))

@@ -151,7 +151,16 @@ class NNUNetTrainerTPU:
         )
         self.output_folder = join(self.output_folder_base, f"fold_{fold}")
 
-        self.mesh = get_data_mesh(num_devices)
+        # the global batch must divide evenly over the data axis; use the
+        # largest device count that divides it (the reference instead
+        # rebalances uneven per-rank batches, :283-328 — unnecessary here)
+        import jax as _jax
+
+        avail = len(_jax.devices()) if num_devices is None else num_devices
+        bs = self.configuration_manager.batch_size
+        while avail > 1 and bs % avail != 0:
+            avail -= 1
+        self.mesh = get_data_mesh(avail)
         self.batch_sharding = NamedSharding(self.mesh, P("data"))
         self.rep_sharding = NamedSharding(self.mesh, P())
 
@@ -580,6 +589,103 @@ class NNUNetTrainerTPU:
         finally:
             self.dataloader_train.stop()
             self.dataloader_val.stop()
+
+    def perform_actual_validation(self, save_probabilities: bool = False):
+        """Final sliding-window validation on the fold's val split
+        (reference :1056-1200): predict every val case with the final
+        weights + mirror TTA, export through the inverse pipeline, compute
+        metrics vs the ground truth, write summary.json. Cascade: also
+        exports resampled predictions for the next stage (:1146-1181)."""
+        import shutil
+
+        from mlagg_unet_tpu.evaluation.metrics import compute_metrics_on_folder
+        from mlagg_unet_tpu.inference.export import (
+            export_prediction_from_logits,
+            resample_and_save,
+        )
+        from mlagg_unet_tpu.inference.sliding_window import VolumePredictor
+
+        if not self.was_initialized:
+            self.initialize()
+            final = join(self.output_folder, "checkpoint_final.ckpt")
+            if isfile(final):
+                self.load_checkpoint_file(final)
+
+        validation_output_folder = join(self.output_folder, "validation")
+        maybe_mkdir_p(validation_output_folder)
+
+        _, val_keys = self.do_split()
+        prev_stage_folder = None
+        if self.configuration_manager.previous_stage_name is not None:
+            prev_stage_folder = join(
+                self.output_folder_base.replace(
+                    f"__{self.configuration_name}",
+                    f"__{self.configuration_manager.previous_stage_name}",
+                ),
+                "predicted_next_stage", self.configuration_name,
+            )
+        ds_val = nnUNetDataset(self.preprocessed_dataset_folder, val_keys,
+                               prev_stage_folder)
+
+        mirror_axes = getattr(self, "inference_allowed_mirroring_axes", None)
+        if mirror_axes is None:
+            mirror_axes = tuple(range(
+                len(self.configuration_manager.patch_size)))
+        tile_size = self.configuration_manager.patch_size
+        num_classes = self.label_manager.num_segmentation_heads
+        predictor = VolumePredictor(
+            self.network.apply, self.params, tile_size, num_classes,
+            tuple(mirror_axes), tile_batch_size=4,
+            compute_dtype=jnp.bfloat16,
+        )
+
+        next_stages = self.configuration_manager.next_stage_names or []
+        for k in val_keys:
+            data, seg, properties = ds_val.load_case(k)
+            data = np.asarray(data)
+            logits = predictor(data)
+            export_prediction_from_logits(
+                logits, properties, self.configuration_manager,
+                self.plans_manager, self.dataset_json,
+                join(validation_output_folder, k),
+                save_probabilities=save_probabilities,
+            )
+            for ns in next_stages:
+                next_cm = self.plans_manager.get_configuration(ns)
+                next_data_dir = join(self.preprocessed_dataset_folder_base,
+                                     next_cm.data_identifier)
+                if not isfile(join(next_data_dir, k + ".npz")):
+                    continue
+                next_ds = nnUNetDataset(next_data_dir, [k])
+                d_next, _, _ = next_ds.load_case(k)
+                out_dir = join(self.output_folder_base,
+                               "predicted_next_stage", ns)
+                maybe_mkdir_p(out_dir)
+                resample_and_save(
+                    logits, d_next.shape[1:], join(out_dir, k + ".npz"),
+                    self.plans_manager, self.configuration_manager,
+                    properties, self.dataset_json,
+                )
+
+        gt_folder = join(self.preprocessed_dataset_folder_base,
+                         "gt_segmentations")
+        if not os.path.isdir(gt_folder):
+            gt_folder = join(paths.nnUNet_raw,
+                             self.plans_manager.dataset_name, "labelsTr")
+        rw = self.plans_manager.image_reader_writer_class()
+        lm = self.label_manager
+        metrics = compute_metrics_on_folder(
+            gt_folder, validation_output_folder,
+            join(validation_output_folder, "summary.json"), rw,
+            self.dataset_json["file_ending"],
+            lm.foreground_regions if lm.has_regions else lm.foreground_labels,
+            lm.ignore_label,
+        )
+        self.print_to_log_file(
+            "Validation complete. Mean foreground Dice:",
+            metrics["foreground_mean"]["Dice"],
+        )
+        return metrics
 
     def _current_lr(self, epoch: int) -> float:
         if self.cfg.lr_scheduler == "poly":
