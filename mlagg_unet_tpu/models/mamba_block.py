@@ -27,7 +27,7 @@ from mlagg_unet_tpu.models.mamba_skip import (
     _dt_proj_weight_init,
 )
 from mlagg_unet_tpu.ops.cross_scan import cross_merge_2d, cross_scan_2d
-from mlagg_unet_tpu.ops.selective_scan import selective_scan
+from mlagg_unet_tpu.ops import selective_scan_auto as selective_scan
 
 
 class MambaBlock(nn.Module):

@@ -26,7 +26,7 @@ from mlagg_unet_tpu.ops.cross_scan import (
     cross_merge_multiscale,
     cross_scan_multiscale,
 )
-from mlagg_unet_tpu.ops.selective_scan import selective_scan
+from mlagg_unet_tpu.ops import selective_scan_auto as selective_scan
 
 
 def _a_log_init(copies: int, d_inner: int, d_state: int):
