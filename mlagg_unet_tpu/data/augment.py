@@ -268,6 +268,49 @@ def apply_mask_for_norm(data, seg, use_mask_for_norm: List[bool]):
     return data
 
 
+def move_seg_as_one_hot_to_data(data: np.ndarray, seg: np.ndarray,
+                                foreground_labels: Sequence[int]
+                                ) -> Tuple[np.ndarray, np.ndarray]:
+    """MoveSegAsOneHotToData (cascade_transforms.py:10-35): seg channel 1
+    (previous stage) becomes len(foreground_labels) one-hot data channels."""
+    prev = seg[1]
+    onehot = np.stack([(prev == l).astype(data.dtype)
+                       for l in foreground_labels])
+    return np.concatenate([data, onehot], 0), seg[:1]
+
+
+def cascade_binary_aug(data: np.ndarray, n_onehot: int,
+                       rng: np.random.RandomState,
+                       p_binary: float = 0.4, p_remove: float = 0.2
+                       ) -> np.ndarray:
+    """ApplyRandomBinaryOperatorTransform + RemoveRandomConnectedComponent
+    (reference get_training_transforms :706-718): random dilation/erosion/
+    open/close of the one-hot prev-stage channels + random component
+    removal — teaches the cascade to distrust the previous stage."""
+    from scipy.ndimage import (
+        binary_closing,
+        binary_dilation,
+        binary_erosion,
+        binary_opening,
+        label as cc_label,
+    )
+
+    ops = (binary_dilation, binary_erosion, binary_opening, binary_closing)
+    for c in range(data.shape[0] - n_onehot, data.shape[0]):
+        if rng.uniform() < p_binary:
+            op = ops[rng.randint(len(ops))]
+            iters = rng.randint(1, 4)
+            data[c] = op(data[c] > 0.5, iterations=iters).astype(data.dtype)
+        if rng.uniform() < p_remove:
+            labeled, n = cc_label(data[c] > 0.5)
+            if n > 1:
+                sizes = np.bincount(labeled.ravel())
+                victim = rng.randint(1, n + 1)
+                if sizes[victim] <= 0.15 * (data[c] > 0.5).sum():
+                    data[c][labeled == victim] = 0
+    return data
+
+
 class TrainingTransforms:
     """Composition matching get_training_transforms (reference :643-733)."""
 
@@ -280,6 +323,8 @@ class TrainingTransforms:
         use_mask_for_norm: List[bool] = None,
         order_resampling_data: int = 3,
         order_resampling_seg: int = 1,
+        is_cascaded: bool = False,
+        foreground_labels: Sequence[int] = None,
     ):
         self.patch_size = list(patch_size)
         self.rotation_for_da = rotation_for_da
@@ -288,6 +333,8 @@ class TrainingTransforms:
         self.use_mask_for_norm = use_mask_for_norm
         self.order_data = order_resampling_data
         self.order_seg = order_resampling_seg
+        self.is_cascaded = is_cascaded
+        self.foreground_labels = foreground_labels
 
     def __call__(self, data: np.ndarray, seg: np.ndarray,
                  rng: np.random.RandomState):
@@ -327,18 +374,29 @@ class TrainingTransforms:
         if self.use_mask_for_norm is not None and any(self.use_mask_for_norm):
             data = apply_mask_for_norm(data, seg, self.use_mask_for_norm)
         seg = np.where(seg == -1, 0, seg)  # RemoveLabelTransform
+        if self.is_cascaded:
+            data, seg = move_seg_as_one_hot_to_data(
+                data, seg, self.foreground_labels)
+            data = cascade_binary_aug(data, len(self.foreground_labels), rng)
         return (np.ascontiguousarray(data),
                 np.ascontiguousarray(seg).astype(np.int32))
 
 
 class ValidationTransforms:
-    """get_validation_transforms equivalent: center crop + remove -1."""
+    """get_validation_transforms equivalent: center crop + remove -1
+    (+ cascade one-hot append, no binary aug)."""
 
-    def __init__(self, patch_size: Sequence[int]):
+    def __init__(self, patch_size: Sequence[int], is_cascaded: bool = False,
+                 foreground_labels: Sequence[int] = None):
         self.patch_size = list(patch_size)
+        self.is_cascaded = is_cascaded
+        self.foreground_labels = foreground_labels
 
     def __call__(self, data, seg, rng=None):
         data = _center_crop(np.asarray(data, dtype=np.float32), self.patch_size)
         seg = _center_crop(np.asarray(seg), self.patch_size)
         seg = np.where(seg == -1, 0, seg)
+        if self.is_cascaded:
+            data, seg = move_seg_as_one_hot_to_data(
+                data, seg, self.foreground_labels)
         return data, seg.astype(np.int32)

@@ -273,7 +273,14 @@ class PrefetchLoader:
 
     def _worker(self, loader):
         while not self._stop.is_set():
-            batch = loader.generate_train_batch()
+            try:
+                batch = loader.generate_train_batch()
+            except BaseException as e:  # propagate to the consumer
+                try:
+                    self._queue.put(e, timeout=5)
+                except queue.Full:
+                    pass
+                return
             while not self._stop.is_set():
                 try:
                     self._queue.put(batch, timeout=0.5)
@@ -283,10 +290,14 @@ class PrefetchLoader:
 
     def __iter__(self):
         for _ in range(self.num_batches_per_epoch):
-            yield self._queue.get()
+            yield self.get_batch()
 
     def get_batch(self):
-        return self._queue.get()
+        item = self._queue.get()
+        if isinstance(item, BaseException):
+            self.stop()
+            raise RuntimeError("data loader worker failed") from item
+        return item
 
     def stop(self):
         self._stop.set()

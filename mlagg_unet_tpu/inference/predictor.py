@@ -221,7 +221,7 @@ class NNUNetPredictor:
             self.configuration_manager.spacing,
         )[0]
         onehot = convert_labelmap_to_one_hot(
-            prev, self.label_manager.all_labels, data.dtype
+            prev, self.label_manager.foreground_labels, data.dtype
         )
         return np.vstack([data, onehot])
 
@@ -298,7 +298,7 @@ class NNUNetPredictor:
                     props["spacing"], self.configuration_manager.spacing,
                 )[0]
                 onehot = convert_labelmap_to_one_hot(
-                    prev_r, self.label_manager.all_labels, pdata.dtype)
+                    prev_r, self.label_manager.foreground_labels, pdata.dtype)
                 pdata = np.vstack([pdata, onehot])
             logits = self.predict_logits_from_preprocessed_data(pdata)
             export_prediction_from_logits(

@@ -418,8 +418,25 @@ class VolumePredictor:
 
         return jax.jit(run)
 
+    def predict_device(self, data: np.ndarray):
+        """Async variant: returns (device logits (*vol, K), bounds, z_mode)
+        WITHOUT forcing a host transfer — lets callers pipeline multiple
+        volumes (dispatch all, then fetch)."""
+        return self._run(data)
+
     def __call__(self, data: np.ndarray) -> np.ndarray:
         """data: (c, *spatial) host array -> fp32 logits (K, *spatial)."""
+        return self.finalize(self._run(data))
+
+    def finalize(self, result) -> np.ndarray:
+        """Fetch + unpad a predict_device result."""
+        logits, bounds, z_mode = result
+        logits_np = np.moveaxis(np.asarray(logits), -1, 0)
+        lead = [slice(None)] * (2 if z_mode else 1)  # (K[, Z]) untouched
+        slicer = tuple(lead + [slice(lo, hi) for lo, hi in bounds])
+        return logits_np[slicer]
+
+    def _run(self, data: np.ndarray):
         tile = self.tile_size
         d = len(tile)
         spatial = data.shape[1:]
@@ -458,10 +475,7 @@ class VolumePredictor:
         volume = jnp.asarray(np.moveaxis(padded, 0, -1))
         logits = run(volume, jnp.asarray(positions), jnp.asarray(valid),
                      jnp.asarray(gaussian))
-        logits_np = np.moveaxis(np.asarray(logits), -1, 0)
-        lead = [slice(None)] * (1 + (1 if z_mode else 0))
-        slicer = tuple(lead + [slice(lo, hi) for lo, hi in bounds[-d:]])
-        return logits_np[slicer]
+        return logits, bounds, z_mode
 
 
 def _predict_2d_over_3d(apply_fn, params, data, tile_size, num_classes,

@@ -207,15 +207,15 @@ def convert_labelmap_to_one_hot(
 def determine_num_input_channels(
     plans_manager, configuration_manager, dataset_json: dict
 ) -> int:
-    """(reference label_handling.py:179) cascade configs get
-    len(all_labels) extra one-hot channels from the previous stage."""
+    """(reference label_handling.py:276-293) cascade configs get
+    len(foreground_labels) extra one-hot channels from the previous stage."""
     label_manager = plans_manager.get_label_manager(dataset_json)
     if "channel_names" in dataset_json:
         num_modalities = len(dataset_json["channel_names"])
     else:
         num_modalities = len(dataset_json["modality"])
     if configuration_manager.previous_stage_name is not None:
-        num_input_channels = num_modalities + len(label_manager.all_labels)
+        num_input_channels = num_modalities + len(label_manager.foreground_labels)
     else:
         num_input_channels = num_modalities
     return num_input_channels

@@ -34,6 +34,8 @@ class TrainerConfig:
     disable_mirroring: bool = False
     disable_da: bool = False
     probabilistic_oversampling: bool = False
+    benchmark: bool = False          # record fastest epoch time to json
+    no_data_loading: bool = False    # feed one cached dummy batch (isolates device speed)
 
 
 TRAINER_REGISTRY = {}
@@ -162,12 +164,13 @@ register_trainer(replace(
     probabilistic_oversampling=True,
 ))
 
-# benchmarking variants (variants/benchmarking/*)
+# benchmarking variants (variants/benchmarking/
+# nnUNetTrainerBenchmark_5epochs.py:8-66)
 register_trainer(replace(_default, name="nnUNetTrainerBenchmark_5epochs",
-                         num_epochs=5))
+                         num_epochs=5, benchmark=True))
 register_trainer(replace(
     _default, name="nnUNetTrainerBenchmark_5epochs_noDataLoading",
-    num_epochs=5,
+    num_epochs=5, benchmark=True, no_data_loading=True,
 ))
 
 # flagship (nnUNetTrainer_MLAgg_2D_dt_MS.py:42-147)
@@ -199,6 +202,21 @@ register_trainer(replace(_default, name="nnUNetTrainerUMambaBot",
                          network="umamba_bot"))
 register_trainer(replace(_default, name="nnUNetTrainerUMambaEnc",
                          network="umamba_enc"))
+
+def _build_vmunet(configuration_manager, num_input_channels,
+                  num_output_channels, deep_supervision):
+    from mlagg_unet_tpu.models.vmamba import VMUNet
+
+    assert len(configuration_manager.patch_size) == 2, "VM-UNet is 2D"
+    return VMUNet(num_classes=num_output_channels,
+                  deep_supervision=deep_supervision)
+
+
+NETWORK_BUILDERS["vmunet"] = _build_vmunet
+
+register_trainer(replace(_default, name="nnUNetTrainer_VMUNet",
+                         network="vmunet", optimizer="adamw",
+                         initial_lr=1e-3))
 
 # MedNeXt trainers (nnUNetTrainer_MedNeXt*.py: AdamW 1e-3-ish recipes)
 register_trainer(replace(_default, name="nnUNetTrainer_MedNeXt",

@@ -286,6 +286,32 @@ class NNUNetTrainerTPU:
 
         self._build_step_fns()
         self.was_initialized = True
+        self._save_debug_information()
+
+    def _save_debug_information(self):
+        """Environment + config dump (reference nnUNetTrainer.py:215-248)."""
+        import jax as _jax
+
+        try:
+            dct = {
+                "trainer_name": self.trainer_name,
+                "trainer_config": {
+                    k: getattr(self.cfg, k)
+                    for k in self.cfg.__dataclass_fields__
+                },
+                "configuration_name": self.configuration_name,
+                "configuration": self.configuration_manager.configuration,
+                "fold": self.fold,
+                "num_input_channels": self.num_input_channels,
+                "jax_version": _jax.__version__,
+                "backend": _jax.default_backend(),
+                "devices": [str(d) for d in _jax.devices()],
+                "mesh": str(self.mesh),
+            }
+            maybe_mkdir_p(self.output_folder)
+            save_json(dct, join(self.output_folder, "debug.json"))
+        except Exception:
+            pass
 
     # ------------------------------------------------------------------
     # loss / steps
@@ -415,16 +441,21 @@ class NNUNetTrainerTPU:
         ds_val = nnUNetDataset(self.preprocessed_dataset_folder, val_keys,
                                prev_stage_folder)
 
+        is_cascaded = self.configuration_manager.previous_stage_name is not None
+        fg_labels = self.label_manager.foreground_labels
         if self.cfg.disable_da:
-            tr_transforms = ValidationTransforms(patch_size)
+            tr_transforms = ValidationTransforms(
+                patch_size, is_cascaded, fg_labels)
             sample_patch = list(patch_size)
         else:
             tr_transforms = TrainingTransforms(
                 list(patch_size), rotation, mirror_axes, do_dummy_2d,
                 self.configuration_manager.use_mask_for_norm,
+                is_cascaded=is_cascaded, foreground_labels=fg_labels,
             )
             sample_patch = list(initial_patch_size)
-        val_transforms = ValidationTransforms(patch_size)
+        val_transforms = ValidationTransforms(patch_size, is_cascaded,
+                                              fg_labels)
 
         annotated_key = tuple(self.label_manager.all_labels)
         loader_cls = nnUNetDataLoader2D if dim == 2 else nnUNetDataLoader3D
@@ -522,19 +553,48 @@ class NNUNetTrainerTPU:
         self.get_dataloaders()
         rng = jax.random.PRNGKey(self.fold if self.fold != "all" else 0)
 
+        cached_batch = None
+        if self.cfg.no_data_loading:
+            # benchmark mode: one cached dummy batch isolates device speed
+            # (reference nnUNetTrainerBenchmark_5epochs_noDataLoading)
+            b = self.dataloader_train.get_batch()
+            cached_batch = {
+                "data": jax.device_put(b["data"], self.batch_sharding),
+                "target": jax.device_put(b["target"], self.batch_sharding),
+            }
+
         save_every = 50
+        # tracing/profiling: set MLAGG_PROFILE_DIR to capture a jax.profiler
+        # trace of epoch 1 (the reference has no profiler at all; SURVEY §5)
+        profile_dir = os.environ.get("MLAGG_PROFILE_DIR")
         try:
             for epoch in range(self.current_epoch, self.cfg.num_epochs):
+                if profile_dir and epoch == 1:
+                    jax.profiler.start_trace(profile_dir)
                 self.logger.log("epoch_start_timestamps", time.time(), epoch)
                 train_losses = []
-                for batch in self.dataloader_train:
-                    rng, step_rng = jax.random.split(rng)
-                    data = jax.device_put(batch["data"], self.batch_sharding)
-                    target = jax.device_put(batch["target"], self.batch_sharding)
-                    self.params, self.opt_state, loss = self._train_step(
-                        self.params, self.opt_state, data, target, step_rng
-                    )
-                    train_losses.append(loss)
+                if cached_batch is not None:
+                    for _ in range(self.cfg.num_iterations_per_epoch):
+                        rng, step_rng = jax.random.split(rng)
+                        self.params, self.opt_state, loss = self._train_step(
+                            self.params, self.opt_state,
+                            cached_batch["data"], cached_batch["target"],
+                            step_rng,
+                        )
+                        train_losses.append(loss)
+                else:
+                    for batch in self.dataloader_train:
+                        rng, step_rng = jax.random.split(rng)
+                        data = jax.device_put(batch["data"],
+                                              self.batch_sharding)
+                        target = jax.device_put(batch["target"],
+                                                self.batch_sharding)
+                        self.params, self.opt_state, loss = self._train_step(
+                            self.params, self.opt_state, data, target,
+                            step_rng
+                        )
+                        train_losses.append(loss)
+                jax.block_until_ready(train_losses[-1])
                 tr_loss = float(np.mean([float(l) for l in train_losses]))
                 self.logger.log("train_losses", tr_loss, epoch)
 
@@ -572,6 +632,9 @@ class NNUNetTrainerTPU:
                     f"ema {self.logger.my_fantastic_logging['ema_fg_dice'][epoch]:.4f}"
                 )
 
+                if profile_dir and epoch == 1:
+                    jax.profiler.stop_trace()
+
                 self.current_epoch = epoch
                 ema = self.logger.my_fantastic_logging["ema_fg_dice"][epoch]
                 if self._best_ema is None or ema > self._best_ema:
@@ -586,6 +649,29 @@ class NNUNetTrainerTPU:
                     pass
 
             self.save_checkpoint("checkpoint_final.ckpt")
+
+            if self.cfg.benchmark:
+                # fastest-epoch-seconds json keyed by device
+                # (reference nnUNetTrainerBenchmark_5epochs.py:36-66)
+                lg = self.logger.my_fantastic_logging
+                epoch_times = [
+                    e - s for s, e in zip(lg["epoch_start_timestamps"],
+                                          lg["epoch_end_timestamps"])
+                    if s is not None and e is not None
+                ]
+                import jax as _jax
+
+                result = {
+                    "trainer": self.trainer_name,
+                    "fastest_epoch": float(np.min(epoch_times)),
+                    "epoch_times": [float(t) for t in epoch_times],
+                    "device": str(_jax.devices()[0]),
+                    "num_devices": self.mesh.size,
+                    "jax_version": _jax.__version__,
+                }
+                save_json({f"{result['device']}__jax_{result['jax_version']}":
+                           result},
+                          join(self.output_folder, "benchmark_result.json"))
         finally:
             self.dataloader_train.stop()
             self.dataloader_val.stop()
