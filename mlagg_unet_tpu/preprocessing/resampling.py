@@ -22,11 +22,21 @@ from mlagg_unet_tpu.configuration import ANISO_THRESHOLD
 
 
 def _resize(data: np.ndarray, new_shape, order: int = 3) -> np.ndarray:
-    """skimage.transform.resize(mode='edge', anti_aliasing=False) equivalent."""
+    """skimage.transform.resize(mode='edge', anti_aliasing=False) equivalent.
+    Uses the OpenMP C++ resampler (mlagg_unet_tpu.native) when available,
+    scipy map_coordinates otherwise — identical math either way."""
     old_shape = data.shape
     new_shape = tuple(int(i) for i in new_shape)
     if tuple(old_shape) == new_shape:
         return data.astype(float, copy=True)
+
+    if data.ndim in (2, 3):
+        from mlagg_unet_tpu.native import native_resize
+
+        out = native_resize(data, new_shape, order)
+        if out is not None:
+            return out
+
     coords = np.meshgrid(
         *[
             (np.arange(n) + 0.5) * (o / n) - 0.5
