@@ -54,6 +54,43 @@ def test_pallas_unaligned_d(rng):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_pallas_gradients_multichunk(rng):
+    """Gradient carry across chunk boundaries (L spans 3 chunks)."""
+    args = make_inputs(rng, b=1, g=2, d=8, n=4, l=300)
+
+    def loss_p(*a):
+        return (selective_scan_pallas(*a, delta_softplus=True,
+                                      chunk_size=128) ** 2).sum()
+
+    def loss_x(*a):
+        return (selective_scan(*a, delta_softplus=True,
+                               chunk_size=64) ** 2).sum()
+
+    gp = jax.grad(loss_p, argnums=tuple(range(7)))(*args)
+    gx = jax.grad(loss_x, argnums=tuple(range(7)))(*args)
+    for i, (a_, b_) in enumerate(zip(gp, gx)):
+        np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(b_), rtol=2e-4, atol=2e-4,
+            err_msg=f"grad argnum {i}")
+
+
+def test_pallas_gradients_no_optionals(rng):
+    u, delta, A, B, C, _, _ = make_inputs(rng, b=1, g=1, d=4, n=4, l=200)
+
+    def loss_p(u, delta, A, B, C):
+        return selective_scan_pallas(u, delta, A, B, C,
+                                     chunk_size=128).sum()
+
+    def loss_x(u, delta, A, B, C):
+        return selective_scan_seq_ref(u, delta, A, B, C).sum()
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2, 3, 4))(u, delta, A, B, C)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2, 3, 4))(u, delta, A, B, C)
+    for a_, b_ in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_pallas_gradients_via_xla_backward(rng):
     args = make_inputs(rng, b=1, g=1, d=4, n=4, l=20)
 
