@@ -317,7 +317,11 @@ class VolumePredictor:
 
     def __init__(self, apply_fn, params, tile_size, num_classes,
                  mirror_axes=(), tile_batch_size=8, use_gaussian=True,
-                 compute_dtype=None):
+                 compute_dtype=None, mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'data' axis — tile batches
+        are then sharded across devices (each device scatter-adds its tiles
+        into a local accumulator; one psum merges them). The embarrassingly
+        parallel TPU analogue of the reference's per-tile GPU loop."""
         self.apply_fn = apply_fn
         self.params = params
         self.tile_size = tuple(tile_size)
@@ -326,6 +330,9 @@ class VolumePredictor:
         self.tb = tile_batch_size
         self.use_gaussian = use_gaussian
         self.compute_dtype = compute_dtype
+        self.mesh = mesh
+        self.n_shards = (mesh.shape["data"]
+                         if mesh is not None and "data" in mesh.shape else 1)
         self.combos = _mirror_variants(self.mirror_axes)
         if compute_dtype is not None and compute_dtype != jnp.float32:
             self.cast_params = jax.tree_util.tree_map(
@@ -359,14 +366,42 @@ class VolumePredictor:
         return acc / len(self.combos)
 
     def _build(self, vol_shape, n_batches, z_mode):
+        run = self._build_local(vol_shape, n_batches, z_mode)
+        if self.n_shards <= 1:
+            return jax.jit(run)
+
+        # multi-chip: shard tile positions over the mesh 'data' axis; each
+        # device accumulates its tiles locally, one psum merges
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        def sharded(volume, positions, valid, gaussian):
+            acc = run(volume, positions, valid, gaussian,
+                      normalize=False, mark_varying=True)
+            acc = jax.lax.psum(acc, "data")
+            return acc[0] / acc[1][..., None]
+
+        mapped = shard_map(
+            sharded, mesh=self.mesh,
+            in_specs=(P(), P("data"), P("data"), P()),
+            out_specs=P(),
+        )
+        return jax.jit(mapped)
+
+    def _build_local(self, vol_shape, n_batches, z_mode):
         tile = self.tile_size
         K = self.num_classes
         tb = self.tb
         d = len(tile)
 
-        def run(volume, positions, valid, gaussian):
+        def run(volume, positions, valid, gaussian, normalize=True,
+                mark_varying=False):
             acc = jnp.zeros((*vol_shape, K), jnp.float32)
             n = jnp.zeros(vol_shape, jnp.float32)
+            if mark_varying:
+                # under shard_map the loop carry must be varying over 'data'
+                acc = jax.lax.pvary(acc, ("data",))
+                n = jax.lax.pvary(n, ("data",))
 
             def gather_one(pos):
                 if z_mode:
@@ -414,9 +449,11 @@ class VolumePredictor:
                 return jax.lax.fori_loop(0, tb, scatter, (acc, n))
 
             acc, n = jax.lax.fori_loop(0, n_batches, body, (acc, n))
+            if not normalize:
+                return acc, n
             return acc / n[..., None]
 
-        return jax.jit(run)
+        return run
 
     def predict_device(self, data: np.ndarray):
         """Async variant: returns (device logits (*vol, K), bounds, z_mode)
@@ -457,13 +494,14 @@ class VolumePredictor:
             positions = get_tile_positions(vol_shape, tile, 0.5)
 
         n_tiles = len(positions)
-        pad_n = (-n_tiles) % self.tb
+        granule = self.tb * self.n_shards
+        pad_n = (-n_tiles) % granule
         valid = np.ones(n_tiles, np.float32)
         if pad_n:
             positions = np.concatenate(
                 [positions, np.zeros((pad_n, positions.shape[1]), np.int32)])
             valid = np.concatenate([valid, np.zeros(pad_n, np.float32)])
-        n_batches = len(positions) // self.tb
+        n_batches = len(positions) // granule
 
         key = (vol_shape, n_batches, z_mode)
         if key not in self._cache:

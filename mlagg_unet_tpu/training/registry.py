@@ -36,6 +36,7 @@ class TrainerConfig:
     probabilistic_oversampling: bool = False
     benchmark: bool = False          # record fastest epoch time to json
     no_data_loading: bool = False    # feed one cached dummy batch (isolates device speed)
+    loss: str = "default"            # 'default' (DC+CE / DC+BCE) | 'ce' | 'dice' | 'dc_topk'
 
 
 TRAINER_REGISTRY = {}
@@ -164,6 +165,14 @@ register_trainer(replace(
     probabilistic_oversampling=True,
 ))
 
+# loss variants (variants/loss/*)
+register_trainer(replace(_default, name="nnUNetTrainerCELoss", loss="ce"))
+register_trainer(replace(_default, name="nnUNetTrainerDiceLoss", loss="dice"))
+register_trainer(replace(_default, name="nnUNetTrainerDiceCELoss_noSmooth",
+                         loss="default"))
+register_trainer(replace(_default, name="nnUNetTrainerTopk10Loss",
+                         loss="dc_topk"))
+
 # benchmarking variants (variants/benchmarking/
 # nnUNetTrainerBenchmark_5epochs.py:8-66)
 register_trainer(replace(_default, name="nnUNetTrainerBenchmark_5epochs",
@@ -217,6 +226,56 @@ NETWORK_BUILDERS["vmunet"] = _build_vmunet
 register_trainer(replace(_default, name="nnUNetTrainer_VMUNet",
                          network="vmunet", optimizer="adamw",
                          initial_lr=1e-3))
+
+
+def _make_simple_builder(module_path: str, cls_name: str, two_d_only=False,
+                         **model_kwargs):
+    def build(configuration_manager, num_input_channels, num_output_channels,
+              deep_supervision):
+        import importlib
+
+        mod = importlib.import_module(module_path)
+        cls = getattr(mod, cls_name)
+        if two_d_only:
+            assert len(configuration_manager.patch_size) == 2, (
+                f"{cls_name} is 2D-only"
+            )
+        kwargs = dict(model_kwargs)
+        if "deep_supervision" in cls.__dataclass_fields__:
+            kwargs["deep_supervision"] = deep_supervision
+        return cls(num_classes=num_output_channels, **kwargs)
+
+    return build
+
+
+NETWORK_BUILDERS.update({
+    "segmamba": _make_simple_builder(
+        "mlagg_unet_tpu.models.mamba_variants", "SegMamba"),
+    "lightm_unet": _make_simple_builder(
+        "mlagg_unet_tpu.models.mamba_variants", "LightMUNet"),
+    "ultralight_vmunet": _make_simple_builder(
+        "mlagg_unet_tpu.models.mamba_variants", "UltraLightVMUNet",
+        two_d_only=True),
+    "nnmamba": _make_simple_builder(
+        "mlagg_unet_tpu.models.mamba_variants", "NNMamba"),
+    "swin_unetr": _make_simple_builder(
+        "mlagg_unet_tpu.models.swin_unetr", "SwinUNETR", two_d_only=True),
+})
+
+register_trainer(replace(_default, name="nnUNetTrainer_SegMamba",
+                         network="segmamba"))
+register_trainer(replace(_default, name="nnUNetTrainer_LightMUNet",
+                         network="lightm_unet", enable_deep_supervision=False))
+register_trainer(replace(_default, name="nnUNetTrainer_UltraLightVMUNet",
+                         network="ultralight_vmunet",
+                         enable_deep_supervision=False, optimizer="adamw",
+                         initial_lr=1e-3))
+register_trainer(replace(_default, name="nnUNetTrainer_nnMamba",
+                         network="nnmamba", enable_deep_supervision=False))
+register_trainer(replace(_default, name="nnUNetTrainerSwinUNETR_2d",
+                         network="swin_unetr",
+                         enable_deep_supervision=False, optimizer="adamw",
+                         initial_lr=1e-4))
 
 # MedNeXt trainers (nnUNetTrainer_MedNeXt*.py: AdamW 1e-3-ish recipes)
 register_trainer(replace(_default, name="nnUNetTrainer_MedNeXt",

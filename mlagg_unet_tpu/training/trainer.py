@@ -322,6 +322,7 @@ class NNUNetTrainerTPU:
         lm = self.label_manager
         batch_dice = self.configuration_manager.batch_dice
 
+        loss_kind = self.cfg.loss
         if lm.has_regions:
             def single(o, t):
                 t_regions = convert_seg_to_regions(
@@ -331,6 +332,24 @@ class NNUNetTrainerTPU:
                     o, t_regions, batch_dice=batch_dice,
                     use_ignore_label=lm.has_ignore_label,
                 )
+        elif loss_kind == "ce":
+            def single(o, t):
+                return losses.robust_cross_entropy_loss(
+                    o, t, ignore_index=lm.ignore_label)
+        elif loss_kind == "dice":
+            def single(o, t):
+                mask = ((t != lm.ignore_label).astype(jnp.float32)
+                        if lm.has_ignore_label else None)
+                td = (jnp.where(t == lm.ignore_label, 0, t)
+                      if lm.has_ignore_label else t)
+                return losses.memory_efficient_soft_dice_loss(
+                    o, td, batch_dice=batch_dice, do_bg=False,
+                    smooth=1e-5, loss_mask=mask)
+        elif loss_kind == "dc_topk":
+            def single(o, t):
+                return losses.dc_and_topk_loss(
+                    o, t, batch_dice=batch_dice, do_bg=False,
+                    ignore_label=lm.ignore_label)
         else:
             def single(o, t):
                 return losses.dc_and_ce_loss(

@@ -1,0 +1,102 @@
+"""Variant zoo: SegMamba, LightM-UNet, UltraLight-VMUNet, nnMamba, SwinUNETR."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _run(module, x):
+    v = module.init({"params": KEY, "dropout": KEY}, x)
+    return module.apply(v, x)
+
+
+def test_segmamba_2d(rng):
+    from mlagg_unet_tpu.models.mamba_variants import SegMamba
+
+    m = SegMamba(num_classes=3, features=(8, 16, 32), deep_supervision=True)
+    outs = _run(m, jnp.asarray(rng.randn(1, 16, 16, 1).astype(np.float32)))
+    assert outs[0].shape == (1, 16, 16, 3)
+    assert outs[1].shape == (1, 8, 8, 3)
+
+
+def test_segmamba_3d(rng):
+    from mlagg_unet_tpu.models.mamba_variants import SegMamba
+
+    m = SegMamba(num_classes=2, features=(4, 8, 16), deep_supervision=False)
+    out = _run(m, jnp.asarray(rng.randn(1, 8, 8, 8, 1).astype(np.float32)))
+    assert out.shape == (1, 8, 8, 8, 2)
+
+
+def test_lightm_unet(rng):
+    from mlagg_unet_tpu.models.mamba_variants import LightMUNet
+
+    m = LightMUNet(num_classes=2, features=(4, 8, 16, 32))
+    out = _run(m, jnp.asarray(rng.randn(1, 16, 16, 1).astype(np.float32)))
+    assert out.shape == (1, 16, 16, 2)
+
+
+def test_ultralight_vmunet(rng):
+    from mlagg_unet_tpu.models.mamba_variants import UltraLightVMUNet
+
+    m = UltraLightVMUNet(num_classes=2)
+    out = _run(m, jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32)))
+    assert out.shape == (1, 64, 64, 2)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_nnmamba(rng):
+    from mlagg_unet_tpu.models.mamba_variants import NNMamba
+
+    m = NNMamba(num_classes=3, features=(8, 16, 32))
+    out = _run(m, jnp.asarray(rng.randn(1, 16, 16, 1).astype(np.float32)))
+    assert out.shape == (1, 16, 16, 3)
+
+
+def test_swin_unetr(rng):
+    from mlagg_unet_tpu.models.swin_unetr import SwinUNETR
+
+    m = SwinUNETR(num_classes=3, feature_size=8, depths=(1, 1, 1, 1),
+                  num_heads=(2, 2, 4, 4), window_size=4)
+    out = _run(m, jnp.asarray(rng.randn(1, 32, 32, 1).astype(np.float32)))
+    assert out.shape == (1, 32, 32, 3)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_swin_window_roundtrip(rng):
+    from mlagg_unet_tpu.models.swin_unetr import (
+        window_partition,
+        window_reverse,
+    )
+
+    x = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+    w = window_partition(x, 4)
+    assert w.shape == (2 * 4, 16, 4)
+    back = window_reverse(w, 4, 8, 8)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+
+def test_all_registry_builders_instantiate():
+    """Every registered trainer's network builder must produce a module that
+    runs a tiny forward (2D where applicable)."""
+    from mlagg_unet_tpu.training.registry import (
+        NETWORK_BUILDERS,
+        TRAINER_REGISTRY,
+    )
+
+    class FakeCfg:
+        patch_size = [16, 16]
+        UNet_base_num_features = 4
+        unet_max_num_features = 32
+        pool_op_kernel_sizes = [[1, 1], [2, 2]]
+        conv_kernel_sizes = [[3, 3], [3, 3]]
+        n_conv_per_stage_encoder = [1, 1]
+        n_conv_per_stage_decoder = [1]
+
+    for name in ("plans_unet", "umamba_bot", "umamba_enc"):
+        net = NETWORK_BUILDERS[name](FakeCfg(), 1, 2, True)
+        x = jnp.zeros((1, 16, 16, 1), jnp.float32)
+        v = net.init({"params": KEY, "dropout": KEY}, x)
+        outs = net.apply(v, x)
+        assert outs[0].shape == (1, 16, 16, 2)
