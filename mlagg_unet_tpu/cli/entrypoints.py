@@ -102,6 +102,8 @@ def train_entry(args=None):
                    help="save softmax of validation predictions")
     p.add_argument("--val", action="store_true", help="only run validation")
     p.add_argument("-num_devices", type=int, default=None)
+    p.add_argument("-pretrained_weights", default=None,
+                   help="checkpoint to transfer name/shape-matched weights from")
     a = p.parse_args(args)
 
     from mlagg_unet_tpu.training.trainer import NNUNetTrainerTPU
@@ -125,6 +127,15 @@ def train_entry(args=None):
               sort_keys=False)
 
     if not a.val:
+        if a.pretrained_weights:
+            from mlagg_unet_tpu.training.load_pretrained_weights import (
+                load_pretrained_weights,
+            )
+
+            trainer.initialize()
+            trainer.params, n_tr, n_tot = load_pretrained_weights(
+                trainer.params, a.pretrained_weights)
+            print(f"transferred {n_tr}/{n_tot} parameter tensors")
         if a.c:
             from mlagg_unet_tpu.utils.helpers import isfile
 

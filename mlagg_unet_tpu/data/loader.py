@@ -43,6 +43,7 @@ class nnUNetDataLoaderBase:
         has_ignore: bool = False,
         transforms=None,
         seed: Optional[int] = None,
+        probabilistic_oversampling: bool = False,
     ):
         self._data = data
         self.batch_size = batch_size
@@ -54,6 +55,7 @@ class nnUNetDataLoaderBase:
         self.annotated_classes_key = annotated_classes_key
         self.has_ignore = has_ignore
         self.transforms = transforms
+        self.probabilistic_oversampling = probabilistic_oversampling
         self.rng = np.random.RandomState(seed)
         self.need_to_pad = (
             np.array(self.patch_size) - np.array(self.final_patch_size)
@@ -72,7 +74,11 @@ class nnUNetDataLoaderBase:
         ]
 
     def _oversample_last_XX_percent(self, sample_idx: int) -> bool:
-        """reference base_data_loader.py:43-47."""
+        """reference base_data_loader.py:43-47; the probabilistic variant
+        (variants/sampling/nnUNetTrainer_probabilisticOversampling.py) draws
+        per-sample instead of forcing the last XX% of the batch."""
+        if self.probabilistic_oversampling:
+            return self.rng.uniform() < self.oversample_foreground_percent
         return not sample_idx < round(
             self.batch_size * (1 - self.oversample_foreground_percent)
         )

@@ -200,10 +200,22 @@ register_trainer(TrainerConfig(
     deep_supervision_scales_override=_FLAGSHIP_DS_SCALES,
 ))
 
-# MLLA baseline / comparison trainers share the flagship recipe by default
+def _build_mlla_unet(configuration_manager, num_input_channels,
+                     num_output_channels, deep_supervision):
+    from mlagg_unet_tpu.models.mlla_unet import MLLAUNet
+
+    assert len(configuration_manager.patch_size) == 2, "MLLA-UNet is 2D"
+    return MLLAUNet(num_classes=num_output_channels, embed_dim=96,
+                    depths=(2, 2, 2, 2), num_heads=(2, 4, 8, 16),
+                    deep_supervision=deep_supervision)
+
+
+NETWORK_BUILDERS["mlla_unet"] = _build_mlla_unet
+
+# MLLA baseline (linear attention + RoPE, nnUNetTrainer_MLLA_UNet.py)
 register_trainer(replace(
     TRAINER_REGISTRY["nnUNetTrainer_MLAgg_2D_dt_MS"],
-    name="nnUNetTrainer_MLLA_UNet",
+    name="nnUNetTrainer_MLLA_UNet", network="mlla_unet",
 ))
 
 # U-Mamba variants (variants/mamba/nnUNetTrainerUMamba{Bot,Enc}.py)

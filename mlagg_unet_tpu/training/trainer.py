@@ -487,6 +487,7 @@ class NNUNetTrainerTPU:
                 annotated_classes_key=annotated_key,
                 has_ignore=self.label_manager.has_ignore_label,
                 transforms=tr_transforms, seed=1000 + worker_id,
+                probabilistic_oversampling=self.cfg.probabilistic_oversampling,
             )
 
         def make_val(worker_id):

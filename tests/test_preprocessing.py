@@ -168,6 +168,15 @@ def test_dataloader_and_augmentation(synth_env):
 
     folder = join(synth_env["pre"], "Dataset999_Synth",
                   "nnUNetPlans_3d_fullres")
+    if not os.path.isdir(folder):  # self-sufficient when run alone
+        from mlagg_unet_tpu.plans.fingerprint import DatasetFingerprintExtractor
+        from mlagg_unet_tpu.plans.experiment_planner import ExperimentPlanner
+        from mlagg_unet_tpu.preprocessing.preprocessor import DefaultPreprocessor
+
+        DatasetFingerprintExtractor("Dataset999_Synth", num_processes=1).run()
+        ExperimentPlanner("Dataset999_Synth").plan_experiment()
+        DefaultPreprocessor().run("Dataset999_Synth", "3d_fullres",
+                                  num_processes=1)
     unpack_dataset(folder, num_processes=1)
     ds = nnUNetDataset(folder)
     assert len(ds) == 6

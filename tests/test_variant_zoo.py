@@ -100,3 +100,27 @@ def test_all_registry_builders_instantiate():
         v = net.init({"params": KEY, "dropout": KEY}, x)
         outs = net.apply(v, x)
         assert outs[0].shape == (1, 16, 16, 2)
+
+
+def test_mlla_unet_baseline(rng):
+    from mlagg_unet_tpu.models.mlla_unet import MLLAUNet
+
+    m = MLLAUNet(num_classes=3, embed_dim=8, depths=(1, 1, 1, 1),
+                 num_heads=(2, 2, 4, 4), deep_supervision=True)
+    x = jnp.asarray(rng.randn(1, 32, 32, 1).astype(np.float32))
+    outs = _run(m, x)
+    assert outs[0].shape == (1, 32, 32, 3)
+    assert len(outs) == 4
+    assert bool(jnp.all(jnp.isfinite(outs[0])))
+
+
+def test_rope_orthogonality(rng):
+    """RoPE preserves norms (pure rotation)."""
+    from mlagg_unet_tpu.models.mlla_unet import apply_rope, rope_rotations
+
+    x = jnp.asarray(rng.randn(1, 4, 4, 8).astype(np.float32))
+    rot = jnp.asarray(rope_rotations(4, 4, 8))
+    y = apply_rope(x, rot)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(y), axis=-1),
+        np.linalg.norm(np.asarray(x), axis=-1), rtol=1e-5)
