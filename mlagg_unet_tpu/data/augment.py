@@ -382,6 +382,39 @@ class TrainingTransforms:
                 np.ascontiguousarray(seg).astype(np.int32))
 
 
+def additive_brightness(data, rng, p=0.3, mu=0.0, sigma=0.1,
+                        p_per_channel=0.5):
+    if rng.uniform() < p:
+        for c in range(data.shape[0]):
+            if rng.uniform() < p_per_channel:
+                data[c] = data[c] + rng.normal(mu, sigma)
+    return data
+
+
+def sharpening(data, rng, p=0.2, strength=(0.1, 1.0), p_per_channel=0.5):
+    """Unsharp masking (DA5's SharpeningTransform)."""
+    if rng.uniform() < p:
+        for c in range(data.shape[0]):
+            if rng.uniform() < p_per_channel:
+                s = rng.uniform(*strength)
+                blurred = gaussian_filter(data[c], 1.0)
+                data[c] = data[c] + s * (data[c] - blurred)
+    return data
+
+
+class DA5TrainingTransforms(TrainingTransforms):
+    """Heavy augmentation (reference variants/data_augmentation/
+    nnUNetTrainerDA5.py:35): the standard stack plus wider rotation/scale
+    sampling, additive brightness, and sharpening."""
+
+    def __call__(self, data, seg, rng):
+        data, seg = super().__call__(data, seg, rng)
+        data = np.ascontiguousarray(data, dtype=np.float32)
+        data = additive_brightness(data, rng)
+        data = sharpening(data, rng)
+        return data, seg
+
+
 class ValidationTransforms:
     """get_validation_transforms equivalent: center crop + remove -1
     (+ cascade one-hot append, no binary aug)."""

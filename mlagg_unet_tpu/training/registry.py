@@ -37,6 +37,7 @@ class TrainerConfig:
     benchmark: bool = False          # record fastest epoch time to json
     no_data_loading: bool = False    # feed one cached dummy batch (isolates device speed)
     loss: str = "default"            # 'default' (DC+CE / DC+BCE) | 'ce' | 'dice' | 'dc_topk'
+    da_level: str = "default"        # 'default' | 'DA5' (heavy augmentation)
 
 
 TRAINER_REGISTRY = {}
@@ -165,6 +166,9 @@ register_trainer(replace(
     probabilistic_oversampling=True,
 ))
 
+register_trainer(replace(_default, name="nnUNetTrainerDA5",
+                         da_level="DA5"))
+
 # loss variants (variants/loss/*)
 register_trainer(replace(_default, name="nnUNetTrainerCELoss", loss="ce"))
 register_trainer(replace(_default, name="nnUNetTrainerDiceLoss", loss="dice"))
@@ -284,6 +288,12 @@ register_trainer(replace(_default, name="nnUNetTrainer_UltraLightVMUNet",
                          initial_lr=1e-3))
 register_trainer(replace(_default, name="nnUNetTrainer_nnMamba",
                          network="nnmamba", enable_deep_supervision=False))
+NETWORK_BUILDERS["transunet"] = _make_simple_builder(
+    "mlagg_unet_tpu.models.transunet", "TransUNet", two_d_only=True)
+register_trainer(replace(_default, name="nnUNetTrainerTransUNet",
+                         network="transunet",
+                         enable_deep_supervision=False, optimizer="adamw",
+                         initial_lr=1e-4))
 register_trainer(replace(_default, name="nnUNetTrainerSwinUNETR_2d",
                          network="swin_unetr",
                          enable_deep_supervision=False, optimizer="adamw",

@@ -31,6 +31,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from mlagg_unet_tpu import paths
 from mlagg_unet_tpu.data.augment import (
+    DA5TrainingTransforms,
     TrainingTransforms,
     ValidationTransforms,
     get_patch_size,
@@ -467,7 +468,9 @@ class NNUNetTrainerTPU:
                 patch_size, is_cascaded, fg_labels)
             sample_patch = list(patch_size)
         else:
-            tr_transforms = TrainingTransforms(
+            tf_cls = (DA5TrainingTransforms if self.cfg.da_level == "DA5"
+                      else TrainingTransforms)
+            tr_transforms = tf_cls(
                 list(patch_size), rotation, mirror_axes, do_dummy_2d,
                 self.configuration_manager.use_mask_for_norm,
                 is_cascaded=is_cascaded, foreground_labels=fg_labels,

@@ -124,3 +124,13 @@ def test_rope_orthogonality(rng):
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(y), axis=-1),
         np.linalg.norm(np.asarray(x), axis=-1), rtol=1e-5)
+
+
+def test_transunet(rng):
+    from mlagg_unet_tpu.models.transunet import TransUNet
+
+    m = TransUNet(num_classes=2, features=(8, 16, 32), vit_dim=32,
+                  vit_depth=1, vit_heads=4)
+    out = _run(m, jnp.asarray(rng.randn(1, 32, 32, 1).astype(np.float32)))
+    assert out.shape == (1, 32, 32, 2)
+    assert bool(jnp.all(jnp.isfinite(out)))
