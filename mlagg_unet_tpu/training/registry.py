@@ -294,6 +294,39 @@ register_trainer(replace(_default, name="nnUNetTrainerTransUNet",
                          network="transunet",
                          enable_deep_supervision=False, optimizer="adamw",
                          initial_lr=1e-4))
+NETWORK_BUILDERS.update({
+    "swin_umamba": _make_simple_builder(
+        "mlagg_unet_tpu.models.more_variants", "SwinUMamba", two_d_only=True),
+    "swin_tunet": _make_simple_builder(
+        "mlagg_unet_tpu.models.more_variants", "SwinTUNet", two_d_only=True),
+    "umamba_ss3d": _make_simple_builder(
+        "mlagg_unet_tpu.models.more_variants", "UMambaSS3D"),
+})
+
+
+def _build_mamba_unet(configuration_manager, num_input_channels,
+                      num_output_channels, deep_supervision):
+    from mlagg_unet_tpu.models.vmamba import VMUNet
+
+    assert len(configuration_manager.patch_size) == 2, "MambaUNet is 2D"
+    return VMUNet(num_classes=num_output_channels,
+                  depths=(2, 2, 2, 2), dims=(48, 96, 192, 384),
+                  deep_supervision=deep_supervision)
+
+
+NETWORK_BUILDERS["mamba_unet"] = _build_mamba_unet
+
+register_trainer(replace(_default, name="nnUNetTrainerSwinUMambaScratch",
+                         network="swin_umamba", optimizer="adamw",
+                         initial_lr=1e-4))
+register_trainer(replace(_default, name="nnUNetTrainer_SwinTUNet",
+                         network="swin_tunet", optimizer="adamw",
+                         initial_lr=1e-4, enable_deep_supervision=False))
+register_trainer(replace(_default, name="nnUNetTrainer_MambaUNet",
+                         network="mamba_unet", optimizer="adamw",
+                         initial_lr=1e-3))
+register_trainer(replace(_default, name="nnUNetTrainerUMambaBot_SS3D",
+                         network="umamba_ss3d"))
 register_trainer(replace(_default, name="nnUNetTrainerSwinUNETR_2d",
                          network="swin_unetr",
                          enable_deep_supervision=False, optimizer="adamw",

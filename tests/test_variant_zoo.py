@@ -134,3 +134,43 @@ def test_transunet(rng):
     out = _run(m, jnp.asarray(rng.randn(1, 32, 32, 1).astype(np.float32)))
     assert out.shape == (1, 32, 32, 2)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_swin_umamba(rng):
+    from mlagg_unet_tpu.models.more_variants import SwinUMamba
+
+    m = SwinUMamba(num_classes=2, depths=(1, 1, 1, 1), dims=(8, 16, 32, 64),
+                   deep_supervision=True)
+    outs = _run(m, jnp.asarray(rng.randn(1, 32, 32, 1).astype(np.float32)))
+    assert outs[0].shape == (1, 32, 32, 2)
+
+
+def test_swin_tunet(rng):
+    from mlagg_unet_tpu.models.more_variants import SwinTUNet
+
+    m = SwinTUNet(num_classes=2, embed_dim=8, depths=(1, 1, 1, 1),
+                  num_heads=(2, 2, 4, 4), window_size=4)
+    out = _run(m, jnp.asarray(rng.randn(1, 32, 32, 1).astype(np.float32)))
+    assert out.shape == (1, 32, 32, 2)
+
+
+def test_ss3d_scan_merge_roundtrip(rng):
+    from mlagg_unet_tpu.models.more_variants import _merge6_3d, _scan6_3d
+
+    x = jnp.asarray(rng.randn(1, 3, 4, 5, 2).astype(np.float32))
+    ys = _scan6_3d(x)
+    assert ys.shape == (1, 6, 2, 60)
+    merged = _merge6_3d(ys, 3, 4, 5)
+    expected = 6.0 * jnp.transpose(x, (0, 4, 1, 2, 3)).reshape(1, 2, 60)
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(expected),
+                               rtol=1e-5)
+
+
+def test_umamba_ss3d(rng):
+    from mlagg_unet_tpu.models.more_variants import UMambaSS3D
+
+    m = UMambaSS3D(num_classes=2, features=(4, 8, 16),
+                   deep_supervision=False)
+    out = _run(m, jnp.asarray(rng.randn(1, 8, 8, 8, 1).astype(np.float32)))
+    assert out.shape == (1, 8, 8, 8, 2)
+    assert bool(jnp.all(jnp.isfinite(out)))
