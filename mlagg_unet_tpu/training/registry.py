@@ -327,6 +327,17 @@ register_trainer(replace(_default, name="nnUNetTrainer_MambaUNet",
                          initial_lr=1e-3))
 register_trainer(replace(_default, name="nnUNetTrainerUMambaBot_SS3D",
                          network="umamba_ss3d"))
+NETWORK_BUILDERS.update({
+    "lkm_unet": _make_simple_builder(
+        "mlagg_unet_tpu.models.lkm_msvm", "LKMUNet", two_d_only=True),
+    "msvm_unet": _make_simple_builder(
+        "mlagg_unet_tpu.models.lkm_msvm", "MSVMUNet", two_d_only=True),
+})
+register_trainer(replace(_default, name="nnUNetTrainer_LKM_UNet",
+                         network="lkm_unet"))
+register_trainer(replace(_default, name="nnUNetTrainer_MSVM_UNet",
+                         network="msvm_unet", optimizer="adamw",
+                         initial_lr=1e-3, enable_deep_supervision=False))
 register_trainer(replace(_default, name="nnUNetTrainerSwinUNETR_2d",
                          network="swin_unetr",
                          enable_deep_supervision=False, optimizer="adamw",

@@ -174,3 +174,21 @@ def test_umamba_ss3d(rng):
     out = _run(m, jnp.asarray(rng.randn(1, 8, 8, 8, 1).astype(np.float32)))
     assert out.shape == (1, 8, 8, 8, 2)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_lkm_unet(rng):
+    from mlagg_unet_tpu.models.lkm_msvm import LKMUNet
+
+    m = LKMUNet(num_classes=2, features=(4, 8, 16), window_size=4,
+                deep_supervision=False)
+    out = _run(m, jnp.asarray(rng.randn(1, 16, 16, 1).astype(np.float32)))
+    assert out.shape == (1, 16, 16, 2)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_msvm_unet(rng):
+    from mlagg_unet_tpu.models.lkm_msvm import MSVMUNet
+
+    m = MSVMUNet(num_classes=2, embed_dim=8, depths=(1, 1, 1, 1))
+    out = _run(m, jnp.asarray(rng.randn(1, 32, 32, 1).astype(np.float32)))
+    assert out.shape == (1, 32, 32, 2)
