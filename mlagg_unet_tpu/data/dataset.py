@@ -50,17 +50,22 @@ def _unpack_case(npz_file: str, unpack_segmentation: bool, overwrite: bool):
 
 def unpack_dataset(folder: str, unpack_segmentation: bool = True,
                    overwrite_existing: bool = False, num_processes: int = 4):
+    """Threads, not processes: numpy (de)compression releases the GIL, and
+    spawn would re-import user scripts (breaking ones without a
+    __main__ guard) while fork after TPU-client init is unsafe."""
+    from concurrent.futures import ThreadPoolExecutor
+
     npz_files = subfiles(folder, suffix=".npz")
     if num_processes <= 1 or len(npz_files) <= 1:
         for f in npz_files:
             _unpack_case(f, unpack_segmentation, overwrite_existing)
         return
-    ctx = multiprocessing.get_context("spawn")
-    with ctx.Pool(num_processes) as pool:
-        pool.starmap(
-            _unpack_case,
-            [(f, unpack_segmentation, overwrite_existing) for f in npz_files],
-        )
+    with ThreadPoolExecutor(max_workers=num_processes) as pool:
+        list(pool.map(
+            lambda f: _unpack_case(f, unpack_segmentation,
+                                   overwrite_existing),
+            npz_files,
+        ))
 
 
 class nnUNetDataset:

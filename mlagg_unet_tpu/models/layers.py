@@ -231,3 +231,19 @@ def avg_pool_to(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
 
 def trunc_normal_init(std: float = 0.02):
     return nn.initializers.truncated_normal(stddev=std)
+
+
+def torch_bias_init(fan_in: int):
+    """torch Conv/Linear default bias init: U(-1/sqrt(fan_in), +1/sqrt(fan_in)).
+
+    NOT cosmetic: flax's zero bias init makes conv outputs EXACTLY zero over
+    zero-padded image regions, so a following channel-LayerNorm sees a
+    zero-variance vector and its backward blows up by 1/sqrt(eps) per layer
+    (measured 1e24 through the patch embed). The reference never hits this
+    because torch initializes biases non-zero."""
+    bound = 1.0 / (fan_in ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init

@@ -240,7 +240,11 @@ class BasicLayer(nn.Module):
 
 
 class ProjectBlock(nn.Module):
-    """conv3x3(stride) -> act -> LN -> conv3x3 -> [act -> LN] (:972-1001)."""
+    """conv3x3(stride) -> act -> LN -> conv3x3 -> [act -> LN] (:972-1001).
+
+    Conv biases use the torch default init — required so zero-padded image
+    regions don't produce exactly-zero channel vectors into the LayerNorms
+    (see layers.torch_bias_init)."""
 
     out_dim: int
     stride: int
@@ -248,11 +252,17 @@ class ProjectBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from mlagg_unet_tpu.models.layers import torch_bias_init
+
+        cin = x.shape[-1]
         x = nn.Conv(self.out_dim, (3, 3), strides=(self.stride, self.stride),
-                    padding=1, name="conv1")(x)
+                    padding=1, bias_init=torch_bias_init(cin * 9),
+                    name="conv1")(x)
         x = gelu(x)
         x = nn.LayerNorm(name="norm1")(x)
-        x = nn.Conv(self.out_dim, (3, 3), padding=1, name="conv2")(x)
+        x = nn.Conv(self.out_dim, (3, 3), padding=1,
+                    bias_init=torch_bias_init(self.out_dim * 9),
+                    name="conv2")(x)
         if not self.last:
             x = gelu(x)
             x = nn.LayerNorm(name="norm2")(x)

@@ -73,7 +73,11 @@ class SwinTUNet(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         e = self.embed_dim
         dims = [e * 2 ** i for i in range(len(self.depths))]
-        h = nn.Conv(e, (4, 4), strides=(4, 4), name="patch_embed")(x)
+        from mlagg_unet_tpu.models.layers import torch_bias_init
+
+        h = nn.Conv(e, (4, 4), strides=(4, 4),
+                    bias_init=torch_bias_init(x.shape[-1] * 16),
+                    name="patch_embed")(x)
         h = nn.LayerNorm(name="patch_norm")(h)
 
         skips = []

@@ -175,8 +175,12 @@ class SwinUNETR(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         fs = self.feature_size
+        from mlagg_unet_tpu.models.layers import torch_bias_init
+
         # patch embed stride 2 (monai uses patch_size=2 for swin unetr)
-        h = nn.Conv(fs, (2, 2), strides=(2, 2), name="patch_embed")(x)
+        h = nn.Conv(fs, (2, 2), strides=(2, 2),
+                    bias_init=torch_bias_init(x.shape[-1] * 4),
+                    name="patch_embed")(x)
 
         hidden = []
         for i, (dep, nh) in enumerate(zip(self.depths, self.num_heads)):

@@ -69,8 +69,13 @@ class VSSM(nn.Module):
     def __call__(self, x, deterministic: bool = True) -> List[jnp.ndarray]:
         import numpy as np
 
-        # stride-4 patch embed
-        x = nn.Conv(self.dims[0], (4, 4), strides=(4, 4), name="patch_embed")(x)
+        from mlagg_unet_tpu.models.layers import torch_bias_init
+
+        # stride-4 patch embed (torch-style bias init: zero-padded regions
+        # must not feed exactly-zero vectors into the LayerNorm)
+        x = nn.Conv(self.dims[0], (4, 4), strides=(4, 4),
+                    bias_init=torch_bias_init(x.shape[-1] * 16),
+                    name="patch_embed")(x)
         x = nn.LayerNorm(name="patch_norm")(x)
 
         total = sum(self.depths)

@@ -38,6 +38,8 @@ class TrainerConfig:
     no_data_loading: bool = False    # feed one cached dummy batch (isolates device speed)
     loss: str = "default"            # 'default' (DC+CE / DC+BCE) | 'ce' | 'dice' | 'dc_topk'
     da_level: str = "default"        # 'default' | 'DA5' (heavy augmentation)
+    compute_dtype: str = "bfloat16"  # forward compute dtype ('float32' | 'bfloat16');
+                                     # master params/optimizer stay fp32 (AMP analogue)
 
 
 TRAINER_REGISTRY = {}

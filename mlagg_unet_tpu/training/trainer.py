@@ -368,11 +368,22 @@ class NNUNetTrainerTPU:
     def _build_step_fns(self):
         network = self.network
         lm = self.label_manager
+        compute_dtype = (jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16"
+                         else jnp.float32)
+
+        def cast(tree):
+            if compute_dtype == jnp.float32:
+                return tree
+            return jax.tree_util.tree_map(
+                lambda x: x.astype(compute_dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
 
         def train_step(params, opt_state, data, target, rng):
             def loss_fn(p):
-                outputs = network.apply({"params": p}, data, False,
-                                        rngs={"dropout": rng})
+                # bf16 forward on cast params/activations; fp32 master params
+                # and loss (the reference's AMP autocast, nnUNetTrainer :848)
+                outputs = network.apply({"params": cast(p)}, cast(data),
+                                        False, rngs={"dropout": rng})
                 return self._loss_for_outputs(outputs, target)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -381,7 +392,7 @@ class NNUNetTrainerTPU:
             return params, opt_state, loss
 
         def val_step(params, data, target):
-            outputs = network.apply({"params": params}, data)
+            outputs = network.apply({"params": cast(params)}, cast(data))
             loss = self._loss_for_outputs(outputs, target)
             out = outputs[0] if isinstance(outputs, (list, tuple)) else outputs
             # online pseudo-dice (reference :895-941): hard preds, fg classes

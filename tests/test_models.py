@@ -183,3 +183,42 @@ def test_mlla_uper_dropout_path_rng(tiny_uper, rng):
     o2 = model.apply(variables, x, False,
                      rngs={"dropout": jax.random.PRNGKey(2)})
     assert not np.allclose(np.asarray(o1[0]), np.asarray(o2[0]))
+
+
+def test_gradients_bounded_on_zero_padded_input(rng):
+    """Regression: exact-zero padded regions (patch larger than the case)
+    must not blow up gradients through the channel LayerNorms. Flax's
+    zero bias init produced exactly-zero LN inputs there, amplifying the
+    backward by 1/sqrt(eps) per layer (observed 1e24)."""
+    import optax
+
+    from mlagg_unet_tpu.models.mlla_uper import MLLAUper
+    from mlagg_unet_tpu.training import losses as L
+
+    model = MLLAUper(out_channels=3, embed_dim=16, patch_size=2,
+                     depths=(1, 1, 1, 1), num_heads=(2, 2, 4, 4),
+                     mlp_ratio=2, sr_ratio=(8, 4, 2, 2),
+                     drop_path_rate=0.1, deep_supervision=True)
+    # tiny "case" in the middle of a mostly-zero patch
+    data = np.zeros((2, 32, 32, 1), np.float32)
+    data[:, 12:20, 12:20, 0] = rng.randn(2, 8, 8)
+    target = np.zeros((2, 32, 32), np.int32)
+    target[:, 14:18, 14:18] = 1
+    x = jnp.asarray(data)
+    t = jnp.asarray(target)
+    params = model.init({"params": KEY, "dropout": KEY}, x[:1])["params"]
+
+    scales = [[1, 1], [.5, .5], [.25, .25], [.125, .125], [.0625, .0625]]
+    w = L.deep_supervision_weights(5)
+
+    def loss(p):
+        outs = model.apply({"params": p}, x, False, rngs={"dropout": KEY})
+        tgts = L.downsample_seg_for_ds(t, scales)
+        return L.deep_supervision_loss(
+            lambda o, tt: L.dc_and_ce_loss(o, tt, batch_dice=True,
+                                           do_bg=False), outs, tgts, w)
+
+    g = jax.grad(loss)(params)
+    gn = float(optax.global_norm(g))
+    assert np.isfinite(gn), "gradient norm overflowed"
+    assert gn < 1e4, f"gradient norm suspiciously large: {gn}"
