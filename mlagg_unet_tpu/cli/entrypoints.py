@@ -128,13 +128,22 @@ def train_entry(args=None):
 
     if not a.val:
         if a.pretrained_weights:
-            from mlagg_unet_tpu.training.load_pretrained_weights import (
-                load_pretrained_weights,
-            )
-
             trainer.initialize()
-            trainer.params, n_tr, n_tot = load_pretrained_weights(
-                trainer.params, a.pretrained_weights)
+            if a.pretrained_weights.endswith((".pth", ".pt")):
+                # reference torch checkpoints (torch.save state dicts)
+                from mlagg_unet_tpu.training.torch_import import (
+                    load_pretrained_torch_weights,
+                )
+
+                trainer.params, n_tr, n_tot = load_pretrained_torch_weights(
+                    trainer.params, a.pretrained_weights)
+            else:
+                from mlagg_unet_tpu.training.load_pretrained_weights import (
+                    load_pretrained_weights,
+                )
+
+                trainer.params, n_tr, n_tot = load_pretrained_weights(
+                    trainer.params, a.pretrained_weights)
             print(f"transferred {n_tr}/{n_tot} parameter tensors")
         if a.c:
             from mlagg_unet_tpu.utils.helpers import isfile

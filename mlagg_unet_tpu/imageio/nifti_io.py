@@ -85,6 +85,7 @@ def read_nifti(fname: str) -> Tuple[np.ndarray, dict]:
     header = {
         "shape": shape,
         "pixdim": tuple(float(p) for p in pixdim[1: 1 + max(ndim, 3)]),
+        "qfac": float(pixdim[0]) if pixdim[0] in (-1.0, 1.0) else 1.0,
         "datatype": int(datatype),
         "bitpix": int(bitpix),
         "qform_code": int(qform_code),
@@ -180,3 +181,100 @@ class SimpleITKIO(NiftiIO):
 
 class NibabelIO(NiftiIO):
     """Name-compatible alias (reference nibabel_reader_writer.py)."""
+
+
+def _affine_from_header(hdr: dict) -> np.ndarray:
+    """NIfTI affine: sform if sform_code > 0, else qform, else diag(pixdim)."""
+    if hdr.get("sform_code", 0) > 0:
+        sr = hdr["srows"]
+        return np.array([sr[0:4], sr[4:8], sr[8:12], [0.0, 0.0, 0.0, 1.0]])
+    pix = list(hdr["pixdim"][:3]) + [1.0, 1.0, 1.0]
+    if hdr.get("qform_code", 0) > 0:
+        b, c, d, ox, oy, oz = hdr["quatern"]
+        a = float(np.sqrt(max(0.0, 1.0 - b * b - c * c - d * d)))
+        rot = np.array([
+            [a * a + b * b - c * c - d * d, 2 * (b * c - a * d),
+             2 * (b * d + a * c)],
+            [2 * (b * c + a * d), a * a + c * c - b * b - d * d,
+             2 * (c * d - a * b)],
+            [2 * (b * d - a * c), 2 * (c * d + a * b),
+             a * a + d * d - b * b - c * c],
+        ])
+        qfac = hdr.get("qfac", 1.0)
+        rot = rot * np.array(pix[:3]) * np.array([1.0, 1.0, qfac])
+        aff = np.eye(4)
+        aff[:3, :3] = rot
+        aff[:3, 3] = (ox, oy, oz)
+        return aff
+    return np.diag(pix[:3] + [1.0])
+
+
+def _io_orientation(affine: np.ndarray):
+    """For each on-disk data axis: (dominant world axis, sign) —
+    nibabel.io_orientation equivalent for non-degenerate affines."""
+    rot = affine[:3, :3].copy()
+    ornt = []
+    used = set()
+    for j in range(3):
+        col = rot[:, j].copy()
+        for u in used:
+            col[u] = 0.0
+        idx = int(np.argmax(np.abs(col)))
+        used.add(idx)
+        ornt.append((idx, 1.0 if col[idx] >= 0 else -1.0))
+    return ornt
+
+
+class NibabelIOWithReorient(NiftiIO):
+    """Reorients to closest-canonical (RAS) on read and restores the
+    original orientation on write (reference nibabel_reader_writer.py:
+    NibabelIOWithReorient, used by the AMOS/KiTS converters)."""
+
+    def read_images(self, image_fnames):
+        images, spacings, props0 = [], [], None
+        for f in image_fnames:
+            data, hdr = read_nifti(f)
+            assert data.ndim == 3, (
+                f"NibabelIOWithReorient supports 3D only, got {data.shape}")
+            affine = _affine_from_header(hdr)
+            ornt = _io_orientation(affine)
+            flip_axes = tuple(j for j, (_, sgn) in enumerate(ornt)
+                              if sgn < 0)
+            perm = tuple(
+                next(j for j, (w, _) in enumerate(ornt) if w == k)
+                for k in range(3))
+            ras = data
+            if flip_axes:
+                ras = np.flip(ras, axis=flip_axes)
+            ras = ras.transpose(perm)
+            voxsize = np.sqrt((affine[:3, :3] ** 2).sum(axis=0))
+            spacing_ras = tuple(float(voxsize[list(perm)[i]])
+                                for i in range(3))
+            images.append(ras.transpose(2, 1, 0)[None].astype(np.float32))
+            spacings.append(tuple(spacing_ras[::-1]))
+            if props0 is None:
+                props0 = {"nifti_header": hdr,
+                          "reorient_perm": perm,
+                          "reorient_flips": flip_axes}
+        if not self._check_all_same([i.shape for i in images]):
+            raise RuntimeError(f"image shapes differ: {image_fnames}")
+        if not self._check_all_same(spacings):
+            raise RuntimeError(f"image spacings differ: {image_fnames}")
+        props0["spacing"] = spacings[0]
+        return np.vstack(images), props0
+
+    def write_seg(self, seg: np.ndarray, output_fname: str, properties: dict
+                  ) -> None:
+        assert seg.ndim == 3
+        ras = seg.transpose(2, 1, 0)  # (z,y,x) index -> RAS (x,y,z)
+        perm = properties.get("reorient_perm", (0, 1, 2))
+        flips = properties.get("reorient_flips", ())
+        inv_perm = tuple(int(np.argsort(perm)[i]) for i in range(3))
+        orig = ras.transpose(inv_perm)
+        if flips:
+            orig = np.flip(orig, axis=tuple(flips))
+        hdr = properties.get("nifti_header")
+        spacing_xyz = (tuple(hdr["pixdim"][:3]) if hdr is not None
+                       else tuple(properties["spacing"][::-1]))
+        write_nifti(output_fname, orig.astype(np.uint8, copy=False),
+                    spacing_xyz, hdr)

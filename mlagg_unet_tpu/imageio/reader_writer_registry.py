@@ -11,14 +11,22 @@ from typing import Optional, Type
 
 from mlagg_unet_tpu.imageio.base_reader_writer import BaseReaderWriter
 from mlagg_unet_tpu.imageio.natural_image_io import NaturalImage2DIO
-from mlagg_unet_tpu.imageio.nifti_io import NibabelIO, NiftiIO, SimpleITKIO
+from mlagg_unet_tpu.imageio.nifti_io import (
+    NibabelIO,
+    NibabelIOWithReorient,
+    NiftiIO,
+    SimpleITKIO,
+)
 from mlagg_unet_tpu.imageio.numpy_io import NumpyIO
+from mlagg_unet_tpu.imageio.tiff_io import Tiff3DIO
 
-LIST_OF_IO_CLASSES = [NiftiIO, SimpleITKIO, NibabelIO, NaturalImage2DIO, NumpyIO]
+# Tiff3DIO precedes NaturalImage2DIO so bare .tif resolves to the 3D reader
+# (the reference's main tif use-case, Dataset073); 2D tif datasets select
+# NaturalImage2DIO via overwrite_image_reader_writer in dataset.json.
+LIST_OF_IO_CLASSES = [NiftiIO, SimpleITKIO, NibabelIO, NibabelIOWithReorient,
+                      Tiff3DIO, NaturalImage2DIO, NumpyIO]
 
 _BY_NAME = {cls.__name__: cls for cls in LIST_OF_IO_CLASSES}
-# name compat with the reference's Tiff3DIO is intentionally absent
-# (tifffile not available); datasets should convert to .npy or .nii.gz
 
 
 def recursive_find_reader_writer_by_name(name: str) -> Type[BaseReaderWriter]:

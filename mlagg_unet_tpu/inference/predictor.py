@@ -105,7 +105,12 @@ class NNUNetPredictor:
                 trainer_name = ckpt["trainer_name"]
                 configuration_name = ckpt["init_args"]["configuration"]
                 mirroring = ckpt.get("inference_allowed_mirroring_axes") or ()
-            parameters.append(ckpt["network_weights"])
+            if ckpt.get("model_state"):
+                # BatchNorm-style nets: full variables dict (running stats)
+                parameters.append({"params": ckpt["network_weights"],
+                                   **ckpt["model_state"]})
+            else:
+                parameters.append(ckpt["network_weights"])
 
         configuration_manager = plans_manager.get_configuration(
             configuration_name)

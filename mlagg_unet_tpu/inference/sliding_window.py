@@ -101,6 +101,14 @@ def _mirror_variants(mirror_axes: Tuple[int, ...]):
     return combos
 
 
+def _as_variables(params) -> dict:
+    """Accept either a bare params pytree or a full flax variables dict
+    (with 'params' plus e.g. 'batch_stats' for BatchNorm nets)."""
+    if isinstance(params, dict) and "params" in params:
+        return params
+    return {"params": params}
+
+
 def make_tile_predictor(
     apply_fn: Callable,
     params,
@@ -136,7 +144,7 @@ def make_tile_predictor(
         stacked = jnp.concatenate(variants, axis=0)
         if compute_dtype is not None:
             stacked = stacked.astype(compute_dtype)
-        out = apply_fn({"params": cast_params}, stacked)
+        out = apply_fn(_as_variables(cast_params), stacked)
         if isinstance(out, (list, tuple)):
             out = out[0]
         out = out.astype(jnp.float32)
@@ -352,7 +360,7 @@ class VolumePredictor:
         stacked = jnp.concatenate(variants, axis=0)
         if self.compute_dtype is not None:
             stacked = stacked.astype(self.compute_dtype)
-        out = self.apply_fn({"params": self.cast_params}, stacked)
+        out = self.apply_fn(_as_variables(self.cast_params), stacked)
         if isinstance(out, (list, tuple)):
             out = out[0]
         out = out.astype(jnp.float32)

@@ -28,13 +28,19 @@ class ConvNormAct(nn.Module):
     features: int
     kernel_size: Sequence[int]
     strides: Sequence[int]
+    norm: str = "instance"   # 'instance' | 'batch' (nnUNetTrainerBN.py)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         pad = [(k // 2, k // 2) for k in self.kernel_size]
         x = nn.Conv(self.features, tuple(self.kernel_size),
                     strides=tuple(self.strides), padding=pad, name="conv")(x)
-        x = InstanceNorm(name="norm")(x)
+        if self.norm == "batch":
+            # torch BatchNorm momentum 0.1 == flax momentum 0.9
+            x = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
+                             momentum=0.9, name="norm")(x)
+        else:
+            x = InstanceNorm(name="norm")(x)
         return lrelu(x)
 
 
@@ -43,13 +49,14 @@ class StackedConvBlocks(nn.Module):
     features: int
     kernel_size: Sequence[int]
     first_stride: Sequence[int]
+    norm: str = "instance"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         for i in range(self.num_convs):
             stride = self.first_stride if i == 0 else [1] * len(self.kernel_size)
             x = ConvNormAct(self.features, self.kernel_size, stride,
-                            name=f"conv{i}")(x)
+                            norm=self.norm, name=f"conv{i}")(x, train)
         return x
 
 
@@ -98,10 +105,12 @@ class PlainConvUNet(nn.Module):
     n_conv_per_stage_encoder: Sequence[int]
     n_conv_per_stage_decoder: Sequence[int]
     deep_supervision: bool = True
+    norm: str = "instance"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True
                  ) -> Union[jnp.ndarray, List[jnp.ndarray]]:
+        train = not deterministic
         skips = []
         for s in range(self.n_stages):
             x = StackedConvBlocks(
@@ -109,8 +118,9 @@ class PlainConvUNet(nn.Module):
                 self.features_per_stage[s],
                 self.conv_kernel_sizes[s],
                 self.pool_op_kernel_sizes[s],
+                norm=self.norm,
                 name=f"encoder_stage{s}",
-            )(x)
+            )(x, train)
             skips.append(x)
 
         ds_outputs = []
@@ -127,8 +137,9 @@ class PlainConvUNet(nn.Module):
                 self.features_per_stage[skip_idx],
                 self.conv_kernel_sizes[skip_idx],
                 [1] * len(self.conv_kernel_sizes[skip_idx]),
+                norm=self.norm,
                 name=f"decoder_stage{d}",
-            )(x)
+            )(x, train)
             if self.deep_supervision or d == self.n_stages - 2:
                 ds_outputs.append(
                     nn.Conv(self.num_classes,
@@ -143,7 +154,8 @@ class PlainConvUNet(nn.Module):
 
 def network_from_plans(configuration_manager, num_input_channels: int,
                        num_output_channels: int,
-                       deep_supervision: bool = True) -> PlainConvUNet:
+                       deep_supervision: bool = True,
+                       norm: str = "instance") -> PlainConvUNet:
     """Instantiate from a ConfigurationManager (plans contract)."""
     n_stages = len(configuration_manager.pool_op_kernel_sizes)
     base = configuration_manager.UNet_base_num_features
@@ -158,4 +170,5 @@ def network_from_plans(configuration_manager, num_input_channels: int,
         n_conv_per_stage_encoder=configuration_manager.n_conv_per_stage_encoder,
         n_conv_per_stage_decoder=configuration_manager.n_conv_per_stage_decoder,
         deep_supervision=deep_supervision,
+        norm=norm,
     )

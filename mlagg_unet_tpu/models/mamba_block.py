@@ -95,22 +95,67 @@ class SS2D(nn.Module):
     d_conv: int = 3
     expand: float = 2.0
     dropout: float = 0.0
+    # forward_type ablation dispatch (reference vmamba.py:394-458). Base
+    # tags: v0/v01/v02/v03/v2 = fp32 scan (our default); v04/v05/v3 = scan in
+    # the input dtype; v31d/v051d = 1-direction; v32d/v052d = 2-direction.
+    # Postfixes: _no32, _noz, _nozact, _onnone, _onsoftmax, _onsigmoid,
+    # _ondwconv3. (All kernel-backend choices — Mamba/Core/Oflex/Triton —
+    # collapse onto the one Pallas/XLA scan.)
+    forward_type: str = "v2"
+
+    def _parse_forward_type(self):
+        ft = self.forward_type
+        flags = {}
+        for tag in ("_no32", "_noz", "_nozact", "_onnone", "_onsoftmax",
+                    "_onsigmoid", "_ondwconv3"):
+            if ft.endswith(tag):
+                flags[tag] = True
+                ft = ft[: -len(tag)]
+        force_fp32 = (ft not in ("v04", "v05", "v3", "v051d", "v052d",
+                                 "v31d", "v32d")
+                      and not flags.get("_no32"))
+        if ft in ("v31d", "v051d"):
+            directions = 1
+        elif ft in ("v32d", "v052d"):
+            directions = 2
+        else:
+            directions = 4
+        return flags, force_fp32, directions
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from mlagg_unet_tpu.ops.cross_scan import (
+            cross_merge_1direction,
+            cross_merge_2direction,
+            cross_scan_1direction,
+            cross_scan_2direction,
+        )
+
+        flags, force_fp32, directions = self._parse_forward_type()
+        scan_fn, merge_fn = {
+            1: (cross_scan_1direction, cross_merge_1direction),
+            2: (cross_scan_2direction, cross_merge_2direction),
+            4: (cross_scan_2d, cross_merge_2d),
+        }[directions]
+        disable_z = flags.get("_noz", False)
+
         B, H, W, _ = x.shape
         d_inner = int(self.expand * self.d_model)
         dt_rank = math.ceil(self.d_model / 16)
         K = 4
         L = H * W
 
-        xz = nn.Dense(2 * d_inner, use_bias=False, name="in_proj")(x)
-        xh, z = jnp.split(xz, 2, axis=-1)
+        if disable_z:
+            xh = nn.Dense(d_inner, use_bias=False, name="in_proj")(x)
+            z = None
+        else:
+            xz = nn.Dense(2 * d_inner, use_bias=False, name="in_proj")(x)
+            xh, z = jnp.split(xz, 2, axis=-1)
         xh = nn.Conv(d_inner, (self.d_conv, self.d_conv), padding="SAME",
                      feature_group_count=d_inner, name="conv2d")(xh)
         xh = jax.nn.silu(xh)
 
-        xs = cross_scan_2d(xh)                         # (B, 4, Din, L)
+        xs = scan_fn(xh)                               # (B, 4, Din, L)
 
         x_proj_weight = self.param(
             "x_proj_weight", nn.initializers.lecun_normal(),
@@ -127,21 +172,37 @@ class SS2D(nn.Module):
                             (K, d_inner, self.d_state), jnp.float32)
         Ds = self.param("Ds", nn.initializers.ones, (K, d_inner), jnp.float32)
 
-        x_dbl = jnp.einsum("bkdl,kcd->bkcl", xs.astype(jnp.float32),
-                           x_proj_weight, preferred_element_type=jnp.float32)
+        scan_dtype = jnp.float32 if force_fp32 else xs.dtype
+        x_dbl = jnp.einsum("bkdl,kcd->bkcl", xs.astype(scan_dtype),
+                           x_proj_weight.astype(scan_dtype),
+                           preferred_element_type=scan_dtype)
         dts = jnp.einsum("bkrl,kdr->bkdl", x_dbl[:, :, :dt_rank],
-                         dt_projs_weight, preferred_element_type=jnp.float32)
+                         dt_projs_weight.astype(scan_dtype),
+                         preferred_element_type=scan_dtype)
         Bs = x_dbl[:, :, dt_rank: dt_rank + self.d_state]
         Cs = x_dbl[:, :, dt_rank + self.d_state:]
         A = -jnp.exp(A_logs)
 
         out_y = selective_scan(xs, dts, A, Bs, Cs, Ds, dt_projs_bias,
                                delta_softplus=True)    # (B,4,Din,L)
-        y = cross_merge_2d(out_y, H, W)                # (B,Din,L)
+        y = merge_fn(out_y, H, W)                      # (B,Din,L)
         y = jnp.swapaxes(y, 1, 2)                      # (B,L,Din)
-        y = nn.LayerNorm(name="out_norm")(y)
+        if flags.get("_onnone"):
+            pass
+        elif flags.get("_onsoftmax"):
+            y = jax.nn.softmax(y, axis=1)              # over L (ref v05x)
+        elif flags.get("_onsigmoid"):
+            y = jax.nn.sigmoid(y)
+        elif flags.get("_ondwconv3"):
+            y = y.reshape(B, H, W, d_inner)
+            y = nn.Conv(d_inner, (3, 3), padding="SAME",
+                        feature_group_count=d_inner, name="out_norm_dwconv")(y)
+            y = y.reshape(B, L, d_inner)
+        else:
+            y = nn.LayerNorm(name="out_norm")(y)
         y = y.reshape(B, H, W, d_inner)
-        y = y * jax.nn.silu(z)
+        if z is not None:
+            y = y * (z if flags.get("_nozact") else jax.nn.silu(z))
         y = nn.Dense(self.d_model, use_bias=False, name="out_proj")(y)
         if self.dropout > 0:
             y = nn.Dropout(self.dropout)(y, deterministic=deterministic)

@@ -27,12 +27,14 @@ class VSSBlock(nn.Module):
     d_state: int = 16
     ssm_ratio: float = 2.0
     mlp_ratio: float = 4.0
+    forward_type: str = "v2"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         h = nn.LayerNorm(name="ln_1")(x)
         h = SS2D(d_model=x.shape[-1], d_state=self.d_state,
-                 expand=self.ssm_ratio, name="self_attention")(h, deterministic)
+                 expand=self.ssm_ratio, forward_type=self.forward_type,
+                 name="self_attention")(h, deterministic)
         x = x + DropPath(self.drop_path)(h, deterministic)
         if self.mlp_ratio > 0:
             h = nn.LayerNorm(name="ln_2")(x)
@@ -64,6 +66,7 @@ class VSSM(nn.Module):
     dims: Sequence[int] = (96, 192, 384, 768)
     d_state: int = 16
     drop_path_rate: float = 0.1
+    forward_type: str = "v2"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True) -> List[jnp.ndarray]:
@@ -86,7 +89,8 @@ class VSSM(nn.Module):
             for b in range(depth):
                 x = VSSBlock(
                     drop_path=dpr[sum(self.depths[:i]) + b],
-                    d_state=self.d_state, name=f"stage{i}_block{b}",
+                    d_state=self.d_state, forward_type=self.forward_type,
+                    name=f"stage{i}_block{b}",
                 )(x, deterministic)
             outs.append(x)
             if i < len(self.depths) - 1:
@@ -118,13 +122,15 @@ class VMUNet(nn.Module):
     dims: Sequence[int] = (96, 192, 384, 768)
     d_state: int = 16
     deep_supervision: bool = False
+    forward_type: str = "v2"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True
                  ) -> Union[jnp.ndarray, List[jnp.ndarray]]:
         B, H, W, _ = x.shape
         feats = VSSM(depths=self.depths, dims=self.dims,
-                     d_state=self.d_state, name="vssm")(x, deterministic)
+                     d_state=self.d_state, forward_type=self.forward_type,
+                     name="vssm")(x, deterministic)
         h = feats[-1]
         ds = []
         for i in range(len(self.dims) - 2, -1, -1):

@@ -66,3 +66,34 @@ def cross_merge_multiscale(
         sl = slice(offsets[i], offsets[i + 1])
         merged.append(cross_merge_2d(ys[..., sl], H, W))
     return jnp.concatenate(merged, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# direction-count ablations (reference csms6s.py:30-104
+# CrossScan/Merge_Ab_{1,2}direction, selected by forward_type v31d/v32d/
+# v051d/v052d in vmamba.py:452-456). K stays 4 so parameter shapes are
+# unchanged; only the scanned sequences differ.
+# ---------------------------------------------------------------------------
+
+def cross_scan_1direction(x: jnp.ndarray) -> jnp.ndarray:
+    """All 4 scan paths see the same row-major sequence."""
+    B, H, W, C = x.shape
+    hw = jnp.transpose(x, (0, 3, 1, 2)).reshape(B, C, H * W)
+    return jnp.broadcast_to(hw[:, None], (B, 4, C, H * W))
+
+
+def cross_merge_1direction(ys: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    return ys.sum(axis=1)
+
+
+def cross_scan_2direction(x: jnp.ndarray) -> jnp.ndarray:
+    """Paths 0/1 = row-major, paths 2/3 = reversed row-major."""
+    B, H, W, C = x.shape
+    hw = jnp.transpose(x, (0, 3, 1, 2)).reshape(B, C, H * W)
+    fwd = jnp.broadcast_to(hw[:, None], (B, 2, C, H * W))
+    return jnp.concatenate([fwd, jnp.flip(fwd, axis=-1)], axis=1)
+
+
+def cross_merge_2direction(ys: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    return (ys[:, 0] + ys[:, 1]
+            + jnp.flip(ys[:, 2], -1) + jnp.flip(ys[:, 3], -1))

@@ -21,7 +21,7 @@ class TrainerConfig:
     num_val_iterations_per_epoch: int = 50
     initial_lr: float = 1e-2
     weight_decay: float = 3e-5
-    optimizer: str = "sgd"            # 'sgd' (momentum .99 nesterov) | 'adamw'
+    optimizer: str = "sgd"            # 'sgd' (momentum .99 nesterov) | 'adamw' | 'adan'
     adam_eps: float = 1e-8
     lr_scheduler: str = "poly"        # 'poly' | 'cosine_warmup' | 'constant'
     warmup_epochs: int = 10
@@ -38,6 +38,10 @@ class TrainerConfig:
     no_data_loading: bool = False    # feed one cached dummy batch (isolates device speed)
     loss: str = "default"            # 'default' (DC+CE / DC+BCE) | 'ce' | 'dice' | 'dc_topk'
     da_level: str = "default"        # 'default' | 'DA5' (heavy augmentation)
+    # spatial-augmentation resampling orders (nnUNetTrainerDAOrd0.py: the
+    # DAOrd0 variant uses 0/0, DASegOrd0 uses 3/0)
+    order_resampling_data: int = 3
+    order_resampling_seg: int = 1
     compute_dtype: str = "bfloat16"  # forward compute dtype ('float32' | 'bfloat16');
                                      # master params/optimizer stay fp32 (AMP analogue)
 
@@ -352,3 +356,72 @@ register_trainer(replace(_default, name="nnUNetTrainer_MedNeXt",
 register_trainer(replace(_default, name="nnUNetTrainer_MedNeXt_Mambaskip",
                          network="mednext_b3_mambaskip", optimizer="adamw",
                          initial_lr=1e-3))
+
+
+# VM-UNet-3D family (nnUNetTrainer_VMUNet3D*.py: VSSM_UNETR, AdamW 1e-4,
+# wd 1e-2, timm cosine warmup-10, 500 epochs, no deep supervision; the
+# *_woinit / *_woinit_new trainers ship the identical network build — the
+# names differ only by commented-out InitWeights_He lines in the reference).
+def _make_vmunet3d_builder(swin: bool):
+    def build(configuration_manager, num_input_channels, num_output_channels,
+              deep_supervision):
+        from mlagg_unet_tpu.models.vmunet3d import VMUNet3D
+
+        assert len(configuration_manager.patch_size) == 3, "VMUNet3D is 3D"
+        return VMUNet3D(num_classes=num_output_channels,
+                        last_stage_swin=swin)
+
+    return build
+
+
+NETWORK_BUILDERS["vmunet3d"] = _make_vmunet3d_builder(False)
+NETWORK_BUILDERS["vmunet3d_swint"] = _make_vmunet3d_builder(True)
+
+_vmunet3d = replace(_default, name="nnUNetTrainer_VMUNet3D",
+                    network="vmunet3d", optimizer="adamw", initial_lr=1e-4,
+                    weight_decay=1e-2, lr_scheduler="cosine_warmup",
+                    num_epochs=500, enable_deep_supervision=False)
+register_trainer(_vmunet3d)
+register_trainer(replace(_vmunet3d, name="nnUNetTrainer_VMUNet3D_woinit"))
+register_trainer(replace(_vmunet3d, name="nnUNetTrainer_VMUNet3D_woinit_new"))
+register_trainer(replace(_vmunet3d,
+                         name="nnUNetTrainer_VMUNet3D_woinit_new_SwinT",
+                         network="vmunet3d_swint"))
+
+
+# BatchNorm-instead-of-InstanceNorm plans UNet (variants/network_architecture/
+# nnUNetTrainerBN.py: same PlainConvUNet topology with batchnorm ops; running
+# stats live in the trainer's model_state / checkpoint "model_state").
+def _build_plans_unet_bn(configuration_manager, num_input_channels,
+                         num_output_channels, deep_supervision):
+    from mlagg_unet_tpu.models.dynamic_unet import network_from_plans
+
+    return network_from_plans(configuration_manager, num_input_channels,
+                              num_output_channels, deep_supervision,
+                              norm="batch")
+
+
+NETWORK_BUILDERS["plans_unet_bn"] = _build_plans_unet_bn
+register_trainer(replace(_default, name="nnUNetTrainerBN",
+                         network="plans_unet_bn"))
+
+# augmentation resampling-order variants (nnUNetTrainerDAOrd0.py)
+register_trainer(replace(_default, name="nnUNetTrainerDAOrd0",
+                         order_resampling_data=0, order_resampling_seg=0))
+register_trainer(replace(_default, name="nnUNetTrainer_DASegOrd0",
+                         order_resampling_data=3, order_resampling_seg=0))
+register_trainer(replace(_default, name="nnUNetTrainer_DASegOrd0_NoMirroring",
+                         order_resampling_data=3, order_resampling_seg=0,
+                         disable_mirroring=True))
+
+# Adan optimizer family (variants/optimizer/nnUNetTrainerAdan.py:12-63)
+_adan = replace(_default, name="nnUNetTrainerAdan", optimizer="adan")
+register_trainer(_adan)
+register_trainer(replace(_adan, name="nnUNetTrainerAdan1en3",
+                         initial_lr=1e-3))
+register_trainer(replace(_adan, name="nnUNetTrainerAdan3en4",
+                         initial_lr=3e-4))
+register_trainer(replace(_adan, name="nnUNetTrainerAdan1en1",
+                         initial_lr=1e-1))
+register_trainer(replace(_adan, name="nnUNetTrainerAdanCosAnneal",
+                         lr_scheduler="cosine_warmup", warmup_epochs=0))

@@ -253,6 +253,11 @@ class NNUNetTrainerTPU:
         key = jax.random.PRNGKey(12345 + self.fold)
         variables = self.network.init({"params": key, "dropout": key}, example)
         self.params = jax.device_put(variables["params"], self.rep_sharding)
+        # non-param collections (e.g. BatchNorm running stats for the BN
+        # trainer variant); empty dict for the common instance-norm nets
+        self.model_state = jax.device_put(
+            {k: v for k, v in variables.items() if k != "params"},
+            self.rep_sharding)
 
         self.ds_scales = self._get_deep_supervision_scales()
         steps_per_epoch = self.cfg.num_iterations_per_epoch
@@ -278,6 +283,13 @@ class NNUNetTrainerTPU:
                 optax.clip_by_global_norm(self.cfg.grad_clip_norm),
                 optax.adamw(schedule, eps=self.cfg.adam_eps,
                             weight_decay=self.cfg.weight_decay),
+            )
+        elif self.cfg.optimizer == "adan":
+            from mlagg_unet_tpu.training.adan import adan
+
+            opt = optax.chain(
+                optax.clip_by_global_norm(self.cfg.grad_clip_norm),
+                adan(schedule, weight_decay=self.cfg.weight_decay),
             )
         else:
             raise ValueError(self.cfg.optimizer)
@@ -378,21 +390,32 @@ class NNUNetTrainerTPU:
                 lambda x: x.astype(compute_dtype)
                 if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
 
-        def train_step(params, opt_state, data, target, rng):
+        has_state = bool(self.model_state)
+
+        def train_step(params, model_state, opt_state, data, target, rng):
             def loss_fn(p):
                 # bf16 forward on cast params/activations; fp32 master params
                 # and loss (the reference's AMP autocast, nnUNetTrainer :848)
-                outputs = network.apply({"params": cast(p)}, cast(data),
-                                        False, rngs={"dropout": rng})
-                return self._loss_for_outputs(outputs, target)
+                if has_state:
+                    outputs, new_state = network.apply(
+                        {"params": cast(p), **model_state}, cast(data),
+                        False, rngs={"dropout": rng},
+                        mutable=list(model_state.keys()))
+                else:
+                    outputs = network.apply({"params": cast(p)}, cast(data),
+                                            False, rngs={"dropout": rng})
+                    new_state = model_state
+                return self._loss_for_outputs(outputs, target), new_state
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+            (loss, model_state), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
+            return params, model_state, opt_state, loss
 
-        def val_step(params, data, target):
-            outputs = network.apply({"params": cast(params)}, cast(data))
+        def val_step(params, model_state, data, target):
+            outputs = network.apply({"params": cast(params), **model_state},
+                                    cast(data))
             loss = self._loss_for_outputs(outputs, target)
             out = outputs[0] if isinstance(outputs, (list, tuple)) else outputs
             # online pseudo-dice (reference :895-941): hard preds, fg classes
@@ -414,7 +437,7 @@ class NNUNetTrainerTPU:
             tp, fp, fn, _ = losses.get_tp_fp_fn_tn(pred, tgt, mask)
             return loss, tp, fp, fn
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
         self._val_step = jax.jit(val_step)
 
     # ------------------------------------------------------------------
@@ -484,6 +507,8 @@ class NNUNetTrainerTPU:
             tr_transforms = tf_cls(
                 list(patch_size), rotation, mirror_axes, do_dummy_2d,
                 self.configuration_manager.use_mask_for_norm,
+                order_resampling_data=self.cfg.order_resampling_data,
+                order_resampling_seg=self.cfg.order_resampling_seg,
                 is_cascaded=is_cascaded, foreground_labels=fg_labels,
             )
             sample_patch = list(initial_patch_size)
@@ -545,6 +570,7 @@ class NNUNetTrainerTPU:
     def save_checkpoint(self, filename: str):
         state = {
             "network_weights": self.params,
+            "model_state": self.model_state,
             "opt_state": self.opt_state,
             "current_epoch": self.current_epoch + 1,
             "logging": self.logger.get_checkpoint(),
@@ -562,6 +588,9 @@ class NNUNetTrainerTPU:
     def load_checkpoint_file(self, path: str):
         ckpt = load_checkpoint(path)
         self.params = jax.device_put(ckpt["network_weights"], self.rep_sharding)
+        if ckpt.get("model_state"):
+            self.model_state = jax.device_put(ckpt["model_state"],
+                                              self.rep_sharding)
         if ckpt.get("opt_state") is not None and self.opt_state is not None:
             try:
                 self.opt_state = jax.tree_util.tree_map(
@@ -610,8 +639,9 @@ class NNUNetTrainerTPU:
                 if cached_batch is not None:
                     for _ in range(self.cfg.num_iterations_per_epoch):
                         rng, step_rng = jax.random.split(rng)
-                        self.params, self.opt_state, loss = self._train_step(
-                            self.params, self.opt_state,
+                        (self.params, self.model_state, self.opt_state,
+                         loss) = self._train_step(
+                            self.params, self.model_state, self.opt_state,
                             cached_batch["data"], cached_batch["target"],
                             step_rng,
                         )
@@ -623,9 +653,10 @@ class NNUNetTrainerTPU:
                                               self.batch_sharding)
                         target = jax.device_put(batch["target"],
                                                 self.batch_sharding)
-                        self.params, self.opt_state, loss = self._train_step(
-                            self.params, self.opt_state, data, target,
-                            step_rng
+                        (self.params, self.model_state, self.opt_state,
+                         loss) = self._train_step(
+                            self.params, self.model_state, self.opt_state,
+                            data, target, step_rng
                         )
                         train_losses.append(loss)
                 jax.block_until_ready(train_losses[-1])
@@ -636,7 +667,8 @@ class NNUNetTrainerTPU:
                 for batch in self.dataloader_val:
                     data = jax.device_put(batch["data"], self.batch_sharding)
                     target = jax.device_put(batch["target"], self.batch_sharding)
-                    loss, tp, fp, fn = self._val_step(self.params, data, target)
+                    loss, tp, fp, fn = self._val_step(
+                        self.params, self.model_state, data, target)
                     val_losses.append(float(loss))
                     tps.append(np.asarray(tp))
                     fps.append(np.asarray(fp))
@@ -753,8 +785,10 @@ class NNUNetTrainerTPU:
                 len(self.configuration_manager.patch_size)))
         tile_size = self.configuration_manager.patch_size
         num_classes = self.label_manager.num_segmentation_heads
+        variables = ({"params": self.params, **self.model_state}
+                     if self.model_state else self.params)
         predictor = VolumePredictor(
-            self.network.apply, self.params, tile_size, num_classes,
+            self.network.apply, variables, tile_size, num_classes,
             tuple(mirror_axes), tile_batch_size=4,
             compute_dtype=jnp.bfloat16,
         )

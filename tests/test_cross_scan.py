@@ -47,3 +47,57 @@ def test_multiscale_roundtrip(rng):
             np.asarray(expected), rtol=1e-6,
         )
         offset += h * w
+
+
+def test_direction_ablations_roundtrip(rng):
+    """1/2-direction ablation scans (csms6s.py CrossScan_Ab_*): K stays 4,
+    paths replicate; merge sums the inverted paths."""
+    import jax.numpy as jnp
+
+    from mlagg_unet_tpu.ops.cross_scan import (
+        cross_merge_1direction,
+        cross_merge_2direction,
+        cross_scan_1direction,
+        cross_scan_2direction,
+    )
+
+    x = jnp.asarray(rng.randn(2, 3, 4, 5).astype(np.float32))
+    hw = jnp.transpose(x, (0, 3, 1, 2)).reshape(2, 5, 12)
+
+    s1 = cross_scan_1direction(x)
+    assert s1.shape == (2, 4, 5, 12)
+    for k in range(4):
+        np.testing.assert_array_equal(np.asarray(s1[:, k]), np.asarray(hw))
+    np.testing.assert_allclose(np.asarray(cross_merge_1direction(s1, 3, 4)),
+                               4 * np.asarray(hw), rtol=1e-6)
+
+    s2 = cross_scan_2direction(x)
+    np.testing.assert_array_equal(np.asarray(s2[:, 0]), np.asarray(hw))
+    np.testing.assert_array_equal(np.asarray(s2[:, 2]),
+                                  np.asarray(jnp.flip(hw, -1)))
+    np.testing.assert_allclose(np.asarray(cross_merge_2direction(s2, 3, 4)),
+                               4 * np.asarray(hw), rtol=1e-6)
+
+
+def test_ss2d_forward_type_ablations(rng):
+    """Every forward_type variant builds and produces finite output of the
+    right shape (vmamba.py:394-458 dispatch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mlagg_unet_tpu.models.mamba_block import SS2D
+
+    x = jnp.asarray(rng.randn(1, 8, 8, 16).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    for ft in ("v0", "v2", "v3", "v05", "v31d", "v32d", "v051d", "v052d",
+               "v2_noz", "v2_nozact", "v2_onnone", "v2_onsoftmax",
+               "v2_onsigmoid", "v2_ondwconv3", "v2_no32"):
+        m = SS2D(d_model=16, d_state=4, forward_type=ft)
+        v = m.init({"params": key}, x)
+        out = m.apply(v, x)
+        assert out.shape == x.shape, ft
+        assert bool(jnp.all(jnp.isfinite(out))), ft
+    # _noz must drop the gate half of in_proj
+    m = SS2D(d_model=16, d_state=4, forward_type="v2_noz")
+    v = m.init({"params": key}, x)
+    assert v["params"]["in_proj"]["kernel"].shape == (16, 32)

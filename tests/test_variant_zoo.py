@@ -192,3 +192,38 @@ def test_msvm_unet(rng):
     m = MSVMUNet(num_classes=2, embed_dim=8, depths=(1, 1, 1, 1))
     out = _run(m, jnp.asarray(rng.randn(1, 32, 32, 1).astype(np.float32)))
     assert out.shape == (1, 32, 32, 2)
+
+
+def test_vmunet3d_scan12_roundtrip(rng):
+    from mlagg_unet_tpu.models.vmunet3d import _merge12_3d, _scan12_3d
+
+    x = jnp.asarray(rng.randn(1, 3, 4, 5, 2).astype(np.float32))
+    ys = _scan12_3d(x)
+    assert ys.shape == (1, 12, 2, 60)
+    merged = _merge12_3d(ys, 3, 4, 5)
+    expected = 12.0 * jnp.transpose(x, (0, 4, 1, 2, 3)).reshape(1, 2, 60)
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(expected),
+                               rtol=1e-5)
+
+
+def test_vmunet3d(rng):
+    from mlagg_unet_tpu.models.vmunet3d import VMUNet3D
+
+    m = VMUNet3D(num_classes=2, dims=(4, 8, 16, 32),
+                 depths=(1, 1, 1, 1),
+                 strides=((2, 2, 2), (1, 2, 2), (2, 2, 2), (1, 1, 1)))
+    out = _run(m, jnp.asarray(rng.randn(1, 4, 16, 16, 1).astype(np.float32)))
+    assert out.shape == (1, 4, 16, 16, 2)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_vmunet3d_swint(rng):
+    from mlagg_unet_tpu.models.vmunet3d import VMUNet3D
+
+    m = VMUNet3D(num_classes=2, dims=(4, 8, 16, 32),
+                 depths=(1, 1, 1, 2), num_heads=4, window_size=(2, 2, 2),
+                 strides=((2, 2, 2), (1, 2, 2), (2, 2, 2), (1, 1, 1)),
+                 last_stage_swin=True)
+    out = _run(m, jnp.asarray(rng.randn(1, 4, 16, 16, 1).astype(np.float32)))
+    assert out.shape == (1, 4, 16, 16, 2)
+    assert bool(jnp.all(jnp.isfinite(out)))
