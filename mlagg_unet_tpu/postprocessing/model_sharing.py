@@ -58,3 +58,25 @@ def export_pretrained_model(
 def install_model_from_zip_file(zip_file: str) -> None:
     with zipfile.ZipFile(zip_file, "r") as zf:
         zf.extractall(paths.nnUNet_results)
+
+
+def download_and_install_pretrained_model(url: str,
+                                          timeout: float = 600.0) -> None:
+    """Download a model zip from a URL and install it (reference
+    model_sharing/model_download.py:11). Uses stdlib urllib; in zero-egress
+    environments this raises with a hint to use install_model_from_zip_file
+    on a manually transferred archive."""
+    import tempfile
+    import urllib.request
+
+    with tempfile.NamedTemporaryFile(suffix=".zip", delete=False) as tmp:
+        tmp_path = tmp.name
+    try:
+        urllib.request.urlretrieve(url, tmp_path)  # nosec - user-given URL
+    except Exception as exc:
+        raise RuntimeError(
+            f"Could not download {url} ({exc}). If this environment has no "
+            "network egress, transfer the zip manually and run "
+            "install_model_from_zip_file(<path>)."
+        ) from exc
+    install_model_from_zip_file(tmp_path)

@@ -116,13 +116,25 @@ def robust_cross_entropy_loss(
 
 
 def topk_cross_entropy_loss(
-    logits: jnp.ndarray, target: jnp.ndarray, k_percent: float = 10.0
+    logits: jnp.ndarray, target: jnp.ndarray, k_percent: float = 10.0,
+    label_smoothing: float = 0.0, ignore_index: Optional[int] = None,
 ) -> jnp.ndarray:
     """TopK CE (reference robust_ce_loss.py:19): mean over the hardest
-    k% voxels. Static k keeps shapes static under jit."""
+    k% voxels. Static k keeps shapes static under jit. label_smoothing
+    follows torch CE semantics (nnUNetTrainerTopk10LossLS01 uses 0.1);
+    ignore_index voxels contribute zero loss before the top-k selection
+    (matching the reference's reduction='none' + topk path)."""
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
+    tgt = target
+    if ignore_index is not None:
+        tgt = jnp.where(target == ignore_index, 0, target)
+    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    if label_smoothing > 0.0:
+        smooth_nll = -logp.mean(axis=-1)
+        nll = (1.0 - label_smoothing) * nll + label_smoothing * smooth_nll
+    if ignore_index is not None:
+        nll = jnp.where(target == ignore_index, 0.0, nll)
     flat = nll.reshape(-1)
     k = max(1, int(flat.shape[0] * k_percent / 100.0))
     topk = jax.lax.top_k(flat, k)[0]

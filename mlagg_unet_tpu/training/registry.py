@@ -32,6 +32,8 @@ class TrainerConfig:
     # fixed DS scales override (flagship uses 5 fixed levels, trainer :101-104)
     deep_supervision_scales_override: Optional[Sequence[Sequence[float]]] = None
     disable_mirroring: bool = False
+    # restrict mirroring to specific axes (nnUNetTrainer_onlyMirror01)
+    mirror_axes_override: Optional[Sequence[int]] = None
     disable_da: bool = False
     probabilistic_oversampling: bool = False
     benchmark: bool = False          # record fastest epoch time to json
@@ -169,7 +171,9 @@ register_trainer(replace(_default, name="nnUNetTrainerNoDA",
                          disable_da=True, disable_mirroring=True))
 register_trainer(replace(
     _default, name="nnUNetTrainer_probabilisticOversampling",
-    probabilistic_oversampling=True,
+    # -1 sentinel: compute the deterministic sampler's effective percent
+    # from the batch size (reference sampling/:19-26)
+    probabilistic_oversampling=True, oversample_foreground_percent=-1.0,
 ))
 
 register_trainer(replace(_default, name="nnUNetTrainerDA5",
@@ -181,6 +185,10 @@ register_trainer(replace(_default, name="nnUNetTrainerDiceLoss", loss="dice"))
 register_trainer(replace(_default, name="nnUNetTrainerDiceCELoss_noSmooth",
                          loss="default"))
 register_trainer(replace(_default, name="nnUNetTrainerTopk10Loss",
+                         loss="topk10"))
+register_trainer(replace(_default, name="nnUNetTrainerTopk10LossLS01",
+                         loss="topk10_ls01"))
+register_trainer(replace(_default, name="nnUNetTrainerDiceTopK10Loss",
                          loss="dc_topk"))
 
 # benchmarking variants (variants/benchmarking/
@@ -425,3 +433,71 @@ register_trainer(replace(_adan, name="nnUNetTrainerAdan1en1",
                          initial_lr=1e-1))
 register_trainer(replace(_adan, name="nnUNetTrainerAdanCosAnneal",
                          lr_scheduler="cosine_warmup", warmup_epochs=0))
+
+
+# ---------------------------------------------------------------------------
+# remaining reference trainer names: aliases + small hyperparameter combos
+# ---------------------------------------------------------------------------
+
+# Adam family (variants/optimizer/nnUNetTrainerAdam.py): nnUNetTrainerAdam =
+# AdamW(amsgrad=True) + poly LR; VanillaAdam = plain Adam (coupled L2 decay)
+_adam = replace(_default, name="nnUNetTrainerAdam", optimizer="adamw_amsgrad")
+register_trainer(_adam)
+register_trainer(replace(_adam, name="nnUNetTrainerAdam1en3",
+                         initial_lr=1e-3))
+register_trainer(replace(_adam, name="nnUNetTrainerAdam3en4",
+                         initial_lr=3e-4))
+_vadam = replace(_default, name="nnUNetTrainerVanillaAdam",
+                 optimizer="adam_l2")
+register_trainer(_vadam)
+register_trainer(replace(_vadam, name="nnUNetTrainerVanillaAdam1en3",
+                         initial_lr=1e-3))
+register_trainer(replace(_vadam, name="nnUNetTrainerVanillaAdam3en4",
+                         initial_lr=3e-4))
+
+# DA5 combinations (variants/data_augmentation/nnUNetTrainerDA5.py tail)
+register_trainer(replace(_default, name="nnUNetTrainerDA5_10epochs",
+                         da_level="DA5", num_epochs=10))
+register_trainer(replace(_default, name="nnUNetTrainerDA5ord0",
+                         da_level="DA5", order_resampling_data=0,
+                         order_resampling_seg=0))
+register_trainer(replace(_default, name="nnUNetTrainerDA5Segord0",
+                         da_level="DA5", order_resampling_data=3,
+                         order_resampling_seg=0))
+
+# epoch-count combos (variants/training_length/nnUNetTrainer_Xepochs*.py)
+register_trainer(replace(_default, name="nnUNetTrainer_1epoch", num_epochs=1))
+for _ep in (250, 2000, 4000, 8000):
+    register_trainer(replace(
+        _default, name=f"nnUNetTrainer_{_ep}epochs_NoMirroring",
+        num_epochs=_ep, disable_mirroring=True))
+register_trainer(replace(_default, name="nnUNetTrainer_500e", num_epochs=500))
+
+# mirror only the first spatial axis pair (nnUNetTrainer_onlyMirror01)
+register_trainer(replace(_default, name="nnUNetTrainer_onlyMirror01",
+                         mirror_axes_override=(0, 1)))
+
+# probabilistic oversampling percent variants
+# (variants/sampling/nnUNetTrainer_probabilisticOversampling.py:63-74; the
+# base class computes the effective percent from the batch size, sentinel -1)
+register_trainer(replace(
+    _default, name="nnUNetTrainer_probabilisticOversampling_033",
+    probabilistic_oversampling=True, oversample_foreground_percent=0.33))
+register_trainer(replace(
+    _default, name="nnUNetTrainer_probabilisticOversampling_010",
+    probabilistic_oversampling=True, oversample_foreground_percent=0.1))
+
+# naming aliases: some reference variants exist under two class names
+for _alias, _orig in (
+    ("nnUNetTrainerLightMUNet", "nnUNetTrainer_LightMUNet"),
+    ("nnUNetTrainerMambaUNet", "nnUNetTrainer_MambaUNet"),
+    ("nnUNetTrainerSegMamba", "nnUNetTrainer_SegMamba"),
+    ("nnUNetTrainerUltraLightVMUNet", "nnUNetTrainer_UltraLightVMUNet"),
+    ("nnUNetTrainerVMUNet", "nnUNetTrainer_VMUNet"),
+    ("nnUNetTrainernnMamba", "nnUNetTrainer_nnMamba"),
+    ("nnUNetTrainer_SwinUNETR_2d", "nnUNetTrainerSwinUNETR_2d"),
+    ("nnUNetTrainerUMambaEnc_SS3D", "nnUNetTrainerUMambaBot_SS3D"),
+    ("nnUNetTrainerSwinUMambaDScratch", "nnUNetTrainerSwinUMambaScratch"),
+    ("nnUNetTrainer_MedNeXt_new", "nnUNetTrainer_MedNeXt"),
+):
+    register_trainer(replace(TRAINER_REGISTRY[_orig], name=_alias))

@@ -291,6 +291,23 @@ class NNUNetTrainerTPU:
                 optax.clip_by_global_norm(self.cfg.grad_clip_norm),
                 adan(schedule, weight_decay=self.cfg.weight_decay),
             )
+        elif self.cfg.optimizer == "adamw_amsgrad":
+            # nnUNetTrainerAdam: AdamW(amsgrad=True) — amsgrad second moment
+            # + decoupled weight decay
+            opt = optax.chain(
+                optax.clip_by_global_norm(self.cfg.grad_clip_norm),
+                optax.scale_by_amsgrad(eps=self.cfg.adam_eps),
+                optax.add_decayed_weights(self.cfg.weight_decay),
+                optax.scale_by_learning_rate(schedule),
+            )
+        elif self.cfg.optimizer == "adam_l2":
+            # nnUNetTrainerVanillaAdam: torch.optim.Adam with coupled L2
+            # weight decay (decay added to the gradient before adam scaling)
+            opt = optax.chain(
+                optax.clip_by_global_norm(self.cfg.grad_clip_norm),
+                optax.add_decayed_weights(self.cfg.weight_decay),
+                optax.adam(schedule, eps=self.cfg.adam_eps),
+            )
         else:
             raise ValueError(self.cfg.optimizer)
         self.optimizer = opt
@@ -363,6 +380,14 @@ class NNUNetTrainerTPU:
                 return losses.dc_and_topk_loss(
                     o, t, batch_dice=batch_dice, do_bg=False,
                     ignore_label=lm.ignore_label)
+        elif loss_kind in ("topk10", "topk10_ls01"):
+            # pure TopK CE (nnUNetTrainerTopk10Loss / ...LS01)
+            ls = 0.1 if loss_kind == "topk10_ls01" else 0.0
+
+            def single(o, t):
+                return losses.topk_cross_entropy_loss(
+                    o, t, k_percent=10.0, label_smoothing=ls,
+                    ignore_index=lm.ignore_label)
         else:
             def single(o, t):
                 return losses.dc_and_ce_loss(
@@ -479,6 +504,12 @@ class NNUNetTrainerTPU:
         if self.cfg.disable_mirroring:
             mirror_axes = ()
             self.inference_allowed_mirroring_axes = ()
+        elif self.cfg.mirror_axes_override is not None:
+            # nnUNetTrainer_onlyMirror01: axes 0,1 in 3D / axis 0 in 2D
+            allowed = tuple(a for a in self.cfg.mirror_axes_override
+                            if a < dim - (0 if dim == 3 else 1))
+            mirror_axes = allowed
+            self.inference_allowed_mirroring_axes = allowed
 
         tr_keys, val_keys = self.do_split()
         prev_stage_folder = None
@@ -519,10 +550,18 @@ class NNUNetTrainerTPU:
         loader_cls = nnUNetDataLoader2D if dim == 2 else nnUNetDataLoader3D
         batch_size = self.configuration_manager.batch_size
 
+        oversample = self.cfg.oversample_foreground_percent
+        if self.cfg.probabilistic_oversampling and oversample < 0:
+            # sentinel: replicate the deterministic sampler's effective
+            # percent for this batch size (reference sampling/:19-26)
+            oversample = float(np.mean(
+                [i >= round(batch_size * (1 - 0.33))
+                 for i in range(batch_size)]))
+
         def make_tr(worker_id):
             return loader_cls(
                 ds_tr, batch_size, sample_patch, list(patch_size),
-                self.cfg.oversample_foreground_percent,
+                oversample,
                 annotated_classes_key=annotated_key,
                 has_ignore=self.label_manager.has_ignore_label,
                 transforms=tr_transforms, seed=1000 + worker_id,
@@ -532,7 +571,7 @@ class NNUNetTrainerTPU:
         def make_val(worker_id):
             return loader_cls(
                 ds_val, batch_size, list(patch_size), list(patch_size),
-                self.cfg.oversample_foreground_percent,
+                oversample,
                 annotated_classes_key=annotated_key,
                 has_ignore=self.label_manager.has_ignore_label,
                 transforms=val_transforms, seed=2000 + worker_id,
