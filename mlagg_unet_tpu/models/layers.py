@@ -61,6 +61,56 @@ class Mlp(nn.Module):
         return x
 
 
+class DepthwiseConv(nn.Module):
+    """Stride-1 SAME depthwise conv, computed as k^d shifted FMAs.
+
+    Drop-in replacement for ``nn.Conv(c, (k,)*d, padding="SAME",
+    feature_group_count=c)`` with an IDENTICAL param tree (kernel
+    (*k, 1, c) + bias (c,)), but ~10-50x faster on TPU: XLA lowers
+    grouped convolutions to a slow per-channel path, while the unrolled
+    shift-multiply-add fuses into a single VPU loop. Large kernels
+    (k^d > 128, e.g. LKM-UNet) fall back to the conv HLO."""
+
+    kernel_size: int = 3
+    use_bias: bool = True
+    spatial_dims: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        import itertools
+
+        c = x.shape[-1]
+        k, d = self.kernel_size, self.spatial_dims
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (*(k,) * d, 1, c)
+        )
+        kern = kernel.astype(x.dtype)
+        if k ** d > 128:
+            out = jax.lax.conv_general_dilated(
+                x, kern, (1,) * d, "SAME",
+                dimension_numbers=conv_dim_numbers(d),
+                feature_group_count=c,
+            )
+        else:
+            p = k // 2
+            spatial = x.shape[1:-1]
+            xp = jnp.pad(x, [(0, 0)] + [(p, p)] * d + [(0, 0)])
+            out = None
+            for idx in itertools.product(range(k), repeat=d):
+                w = kern[idx + (0,)]                      # (c,)
+                sl = tuple(
+                    [slice(None)]
+                    + [slice(i, i + s) for i, s in zip(idx, spatial)]
+                    + [slice(None)]
+                )
+                term = xp[sl] * w
+                out = term if out is None else out + term
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (c,))
+            out = out + bias.astype(out.dtype)
+        return out
+
+
 class DWConv2d(nn.Module):
     """Depthwise 3x3 conv on NHWC images."""
 
@@ -69,13 +119,11 @@ class DWConv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        c = x.shape[-1]
-        return nn.Conv(
-            features=c,
-            kernel_size=(self.kernel_size, self.kernel_size),
-            padding="SAME",
-            feature_group_count=c,
+        return DepthwiseConv(
+            kernel_size=self.kernel_size,
             use_bias=self.use_bias,
+            spatial_dims=2,
+            name="Conv_0",
         )(x)
 
 
@@ -220,13 +268,14 @@ def avg_pool_to(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     B, H, W, C = x.shape
     oh, ow = out_hw
     if H % oh == 0 and W % ow == 0:
-        x = x.reshape(B, oh, H // oh, ow, W // ow, C)
-        return x.mean(axis=(2, 4))
+        xr = x.reshape(B, oh, H // oh, ow, W // ow, C)
+        return xr.astype(jnp.float32).mean(axis=(2, 4)).astype(x.dtype)
     mh = _adaptive_pool_matrix(H, oh)
     mw = _adaptive_pool_matrix(W, ow)
+    dt = x.dtype
     x = jnp.einsum("oh,bhwc->bowc", mh, x, preferred_element_type=jnp.float32)
     x = jnp.einsum("pw,bowc->bopc", mw, x, preferred_element_type=jnp.float32)
-    return x.astype(jnp.float32)
+    return x.astype(dt)
 
 
 def trunc_normal_init(std: float = 0.02):

@@ -21,7 +21,12 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from mlagg_unet_tpu.models.layers import ConvolutionalGLU, DropPath, InstanceNorm
+from mlagg_unet_tpu.models.layers import (
+    ConvolutionalGLU,
+    DepthwiseConv,
+    DropPath,
+    InstanceNorm,
+)
 from mlagg_unet_tpu.ops.cross_scan import (
     cross_merge_multiscale,
     cross_scan_multiscale,
@@ -94,9 +99,8 @@ class SS2DSkip(nn.Module):
         feats = []
         for i, x in enumerate(xs):
             h = in_proj(x)
-            c = h.shape[-1]
-            h = nn.Conv(c, (self.d_conv, self.d_conv), padding="SAME",
-                        feature_group_count=c, name=f"conv2d_{i}")(h)
+            h = DepthwiseConv(kernel_size=self.d_conv, spatial_dims=2,
+                              name=f"conv2d_{i}")(h)
             feats.append(jax.nn.silu(h))
 
         xs_cat, l_split = cross_scan_multiscale(feats)      # (B,4,Din,Lcat)
@@ -119,17 +123,22 @@ class SS2DSkip(nn.Module):
         )
         Ds = self.param("Ds", nn.initializers.ones, (K, d_inner), jnp.float32)
 
-        # x_dbl = einsum("b k d l, k c d -> b k c l") (:431)
+        # x_dbl = einsum("b k d l, k c d -> b k c l") (:431). The reference
+        # runs these projections under AMP autocast (fp16) and only casts to
+        # fp32 at the selective-scan boundary (MambaSkip.py:443-448); we do
+        # the same in the model compute dtype — the Pallas kernel upcasts
+        # its operands to fp32 in VMEM.
+        cdt = xs_cat.dtype
         x_dbl = jnp.einsum(
-            "bkdl,kcd->bkcl", xs_cat.astype(jnp.float32), x_proj_weight,
-            preferred_element_type=jnp.float32,
+            "bkdl,kcd->bkcl", xs_cat, x_proj_weight.astype(cdt),
+            preferred_element_type=cdt,
         )
         dts = x_dbl[:, :, :dt_rank]
         Bs = x_dbl[:, :, dt_rank: dt_rank + self.d_state]
         Cs = x_dbl[:, :, dt_rank + self.d_state:]
         dts = jnp.einsum(
-            "bkrl,kdr->bkdl", dts, dt_projs_weight,
-            preferred_element_type=jnp.float32,
+            "bkrl,kdr->bkdl", dts, dt_projs_weight.astype(cdt),
+            preferred_element_type=cdt,
         )
 
         A = -jnp.exp(A_logs)                                 # (K, Din, N)
@@ -139,7 +148,9 @@ class SS2DSkip(nn.Module):
 
         y = cross_merge_multiscale(out_y, shapes, l_split)   # (B,Din,Lcat)
         y = jnp.swapaxes(y, 1, 2)                            # (B,Lcat,Din)
-        y = nn.LayerNorm(name="out_norm")(y)
+        # LN in fp32 (autocast semantics), then back to the compute dtype
+        # for the projection (reference out_proj runs in fp16 under AMP)
+        y = nn.LayerNorm(name="out_norm")(y).astype(cdt)
         y = nn.Dense(self.d_model, use_bias=False, name="out_proj")(y)
 
         # back to per-scale NHWC

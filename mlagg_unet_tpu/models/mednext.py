@@ -20,6 +20,7 @@ from flax import linen as nn
 from mlagg_unet_tpu.models.layers import (
     ChannelGroupNorm,
     ConvTransposeTorch,
+    DepthwiseConv,
     gelu,
     pad_top_left,
 )
@@ -40,8 +41,8 @@ class MedNeXtBlock(nn.Module):
         cin = x.shape[-1]
         d = self.spatial_dims
         k = (self.kernel_size,) * d
-        x1 = nn.Conv(cin, k, padding="SAME", feature_group_count=cin,
-                     name="conv1")(x)
+        x1 = DepthwiseConv(kernel_size=self.kernel_size, spatial_dims=d,
+                           name="conv1")(x)
         x1 = ChannelGroupNorm(name="norm")(x1)
         x1 = gelu(nn.Conv(self.exp_r * cin, (1,) * d, name="conv2")(x1))
         if self.grn:

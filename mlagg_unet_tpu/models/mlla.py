@@ -100,7 +100,7 @@ class AggregatedAttention(nn.Module):
             out = local_window_attention_apply(attn, v_img, self.window_size)
             out = RMSNorm(name="subln")(out)                # (B,H,W,nh,2hd)
             out = out * (1 - self.lambda_init_value)
-            out = out.reshape(B, H, W, C)
+            out = out.reshape(B, H, W, C).astype(x.dtype)
         else:
             pool_h, pool_w = H // self.sr_ratio, W // self.sr_ratio
             x_ = gelu(nn.Conv(C, (1, 1), name="sr")(x))
@@ -126,11 +126,14 @@ class AggregatedAttention(nn.Module):
             # logits = q.k/hd, matching the reference flash path exactly
             attn1 = flash_attention(q1, k1, vv, scale=scale)
             attn2 = flash_attention(q2, k2, vv, scale=scale)
-            out = attn1 - lambda_full * attn2               # (B,nh,N,2hd)
+            # cast the fp32 lambda scalar down so the combine stays in the
+            # model compute dtype (a f32 array operand would promote the
+            # whole downstream graph to fp32)
+            out = attn1 - lambda_full.astype(attn1.dtype) * attn2
             out = jnp.transpose(out, (0, 2, 1, 3))          # (B,N,nh,2hd)
             out = RMSNorm(name="subln")(out)
             out = out * (1 - self.lambda_init_value)
-            out = out.reshape(B, H, W, C)
+            out = out.reshape(B, H, W, C).astype(x.dtype)
 
         out = out + DWConv2d(name="lepe")(v_pe)
         return out

@@ -73,4 +73,6 @@ def local_window_attention_apply(
     for j, (dy, dx) in enumerate(_window_offsets(window_size)):
         vshift = _shift2d(vf, dy, dx)
         out = out + attn[..., j : j + 1] * vshift
-    return out
+    # fp32 island ends here: return in the caller's compute dtype so a
+    # bf16 model doesn't silently promote everything downstream to fp32
+    return out.astype(v.dtype)

@@ -2,17 +2,30 @@
 
 Why: the XLA chunked associative scan (ops/selective_scan.py) materializes
 its (b, g, d, Lc, n) intermediates to HBM on every log-depth pass; at the
-flagship MSMM shapes (b=32 tiles, g=4, d=96, L=19040, n=16) that measures
+flagship MSMM shapes (b=20 tiles, g=4, d=96, L=19040, n=16) that measures
 2.7 s per forward — 87% of the whole network. These kernels keep each
 chunk's scan entirely in VMEM: HBM traffic collapses to one read of the
-operands and one write of the results (15x measured on the forward).
+operands and one write of the results.
 
-Forward: grid (BG, L/Lc) with the chunk axis innermost (sequential); the
-(n, d) recurrence state persists in VMEM scratch; within a chunk the
-first-order recurrence h_t = a_t h_{t-1} + b_t is solved by log-depth
-doubling over the lane (time) axis via pltpu.roll + iota masking. The
-kernel additionally emits each chunk's START state so the backward can
-recompute h locally.
+Forward: grid (BG/gb, L/Lc) with the chunk axis innermost (sequential);
+each grid cell processes ``gb`` independent (batch x direction) rows at
+once — gb is chosen so the ~6 live (gb, n, d, Lc) fp32 tensors of the
+doubling scan fit VMEM (spilling to HBM costs ~2x). The (gb, n, d)
+recurrence state persists in VMEM scratch; within a chunk the first-order
+recurrence h_t = a_t h_{t-1} + b_t is solved by log-depth doubling over the
+lane (time) axis via pltpu.roll + iota masking. The kernel additionally
+emits each chunk's START state so the backward can recompute h locally.
+
+Everything elementwise around the recurrence is fused in-kernel so no
+full-size (b,g,d,L) intermediate ever touches HBM:
+  * delta_bias + softplus on dt (matching mamba_ssm's in-kernel handling;
+    MambaSkip.py:445-451 passes delta_softplus=True),
+  * the D*u skip term on y,
+  * in backward: the D*gy term on du, the softplus/bias chain on ddelta,
+    and the (g,d)-shaped dA / dD / dbias reductions (accumulated in VMEM
+    scratch across chunks).
+Inputs may be bf16: operands are upcast to fp32 in VMEM, arithmetic is
+fp32 (parity with the CUDA kernel's fp32 path).
 
 Backward: the adjoint of a linear recurrence is the REVERSED recurrence
     g_t = gy_t (x) C_t + a_{t+1} (.) g_{t+1}
@@ -21,8 +34,6 @@ reverse grid order, with (a_first, g_first) of the later chunk carried in
 scratch. Within a chunk, h is recomputed from the saved start state
 (recompute-in-backward, exactly like the reference CUDA kernel), and all
 gradient contractions (dB, dC, du, ddelta, dA) are fused in VMEM.
-
-All arithmetic float32 (parity with the CUDA kernel's fp32 path).
 """
 from __future__ import annotations
 
@@ -41,8 +52,8 @@ def _doubling_scan(a, b, lane, lc):
     a_cum_k = prod_{0..k} a_i."""
     shift = 1
     while shift < lc:
-        a_sh = pltpu.roll(a, shift, axis=2)
-        b_sh = pltpu.roll(b, shift, axis=2)
+        a_sh = pltpu.roll(a, shift, axis=3)
+        b_sh = pltpu.roll(b, shift, axis=3)
         valid = lane >= shift
         b = jnp.where(valid, b + a * b_sh, b)
         a = jnp.where(valid, a * a_sh, a)
@@ -50,122 +61,171 @@ def _doubling_scan(a, b, lane, lc):
     return a, b
 
 
-def _fwd_kernel(u_ref, dt_ref, A_ref, B_ref, C_ref, y_ref, h0_ref,
-                h_scratch, *, lc: int):
+def _load_dt(dt_ref, bias_ref, softplus: bool):
+    pre = dt_ref[...].astype(jnp.float32)                  # (gb, d, Lc)
+    pre = pre + bias_ref[...].astype(jnp.float32)          # bias (gb, d, 1)
+    dt = jax.nn.softplus(pre) if softplus else pre
+    return pre, dt
+
+
+def _fwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref, D_ref,
+                y_ref, h0_ref, h_scratch, *, lc: int, softplus: bool):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         h_scratch[:] = jnp.zeros_like(h_scratch)
 
-    u = u_ref[0].astype(jnp.float32)        # (d, Lc)
-    dt = dt_ref[0].astype(jnp.float32)      # (d, Lc)  (bias+softplus applied)
-    A = A_ref[0].astype(jnp.float32)        # (d, n)
-    Bm = B_ref[0].astype(jnp.float32)       # (n, Lc)
-    Cm = C_ref[0].astype(jnp.float32)       # (n, Lc)
+    u = u_ref[...].astype(jnp.float32)            # (gb, d, Lc)
+    _, dt = _load_dt(dt_ref, bias_ref, softplus)  # (gb, d, Lc)
+    A = A_ref[...].astype(jnp.float32)            # (gb, d, n)
+    Bm = B_ref[...].astype(jnp.float32)           # (gb, n, Lc)
+    Cm = C_ref[...].astype(jnp.float32)           # (gb, n, Lc)
 
-    n, d = A.shape[1], A.shape[0]
+    gb, d, n = A.shape[0], A.shape[1], A.shape[2]
+    At = jnp.swapaxes(A, 1, 2)                    # (gb, n, d)
 
-    a = jnp.exp(dt[None, :, :] * jnp.swapaxes(A, 0, 1)[:, :, None])
-    bx = (dt * u)[None, :, :] * Bm[:, None, :]
+    a = jnp.exp(dt[:, None, :, :] * At[:, :, :, None])      # (gb, n, d, Lc)
+    bx = (dt * u)[:, None, :, :] * Bm[:, :, None, :]
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (n, d, lc), dimension=2)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (gb, n, d, lc), dimension=3)
     a_cum, b_cum = _doubling_scan(a, bx, lane, lc)
 
-    h0 = h_scratch[:, :d]                    # (n, d) chunk-start state
-    h0_ref[0, 0] = h0.astype(h0_ref.dtype)
-    h = b_cum + a_cum * h0[:, :, None]       # (n, d, Lc)
+    h0 = h_scratch[:, :, :d]                      # (gb, n, d) chunk-start state
+    h0_ref[:, 0] = h0.astype(h0_ref.dtype)
+    h = b_cum + a_cum * h0[:, :, :, None]         # (gb, n, d, Lc)
 
-    y_ref[0] = jnp.sum(h * Cm[:, None, :], axis=0).astype(y_ref.dtype)
-    h_scratch[:, :d] = h[:, :, lc - 1]
+    y = jnp.sum(h * Cm[:, :, None, :], axis=1)    # (gb, d, Lc)
+    y = y + D_ref[...].astype(jnp.float32) * u    # D: (gb, d, 1)
+    y_ref[...] = y.astype(y_ref.dtype)
+    h_scratch[:, :, :d] = h[:, :, :, lc - 1]
 
 
-def _bwd_kernel(u_ref, dt_ref, A_ref, B_ref, C_ref, gy_ref, h0_ref,
-                du_ref, ddt_ref, dA_ref, dB_ref, dC_ref,
-                carry_scratch, dA_scratch, *, lc: int):
+def _bwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref, D_ref, gy_ref,
+                h0_ref, du_ref, ddt_ref, dA_ref, dB_ref, dC_ref, dDb_ref,
+                carry_scratch, dA_scratch, dDb_scratch,
+                *, lc: int, softplus: bool):
     """Processes chunks in REVERSE time order (index_map flips j).
-    carry_scratch: (2, n, d_pad) rows = (a_first, g_first) of the
-    later-in-time chunk. dA accumulates across chunks in scratch."""
+    carry_scratch: (2, gb, n, d_pad) rows = (a_first, g_first) of the
+    later-in-time chunk. dA accumulates across chunks in scratch; so do the
+    per-row dD and dbias partial sums (dDb_scratch rows 0/1), emitted once
+    per grid row as dDb_ref. ddt_ref receives the FINAL ddelta (the
+    softplus/bias chain is applied in-kernel)."""
     j = pl.program_id(1)
     nchunks = pl.num_programs(1)
 
-    u = u_ref[0].astype(jnp.float32)         # (d, Lc)
-    dt = dt_ref[0].astype(jnp.float32)       # (d, Lc)
-    A = A_ref[0].astype(jnp.float32)         # (d, n)
-    Bm = B_ref[0].astype(jnp.float32)        # (n, Lc)
-    Cm = C_ref[0].astype(jnp.float32)        # (n, Lc)
-    gy = gy_ref[0].astype(jnp.float32)       # (d, Lc)
-    h0 = h0_ref[0, 0].astype(jnp.float32)    # (n, d)
+    u = u_ref[...].astype(jnp.float32)              # (gb, d, Lc)
+    pre, dt = _load_dt(dt_ref, bias_ref, softplus)  # (gb, d, Lc)
+    A = A_ref[...].astype(jnp.float32)              # (gb, d, n)
+    Bm = B_ref[...].astype(jnp.float32)             # (gb, n, Lc)
+    Cm = C_ref[...].astype(jnp.float32)             # (gb, n, Lc)
+    gy = gy_ref[...].astype(jnp.float32)            # (gb, d, Lc)
+    h0 = h0_ref[:, 0].astype(jnp.float32)           # (gb, n, d)
 
-    n, d = A.shape[1], A.shape[0]
-    At = jnp.swapaxes(A, 0, 1)               # (n, d)
+    gb, d, n = A.shape[0], A.shape[1], A.shape[2]
+    At = jnp.swapaxes(A, 1, 2)                      # (gb, n, d)
 
     @pl.when(j == 0)
     def _():
         carry_scratch[:] = jnp.zeros_like(carry_scratch)
         dA_scratch[:] = jnp.zeros_like(dA_scratch)
+        dDb_scratch[:] = jnp.zeros_like(dDb_scratch)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (n, d, lc), dimension=2)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (gb, n, d, lc), dimension=3)
 
     # ---- recompute within-chunk a, bx, h from the saved start state
-    a = jnp.exp(dt[None, :, :] * At[:, :, None])          # (n, d, Lc)
-    s = dt * u                                             # (d, Lc)
-    bx = s[None, :, :] * Bm[:, None, :]
+    a = jnp.exp(dt[:, None, :, :] * At[:, :, :, None])       # (gb, n, d, Lc)
+    s = dt * u                                                # (gb, d, Lc)
+    bx = s[:, None, :, :] * Bm[:, :, None, :]
     a_cum, b_cum = _doubling_scan(a, bx, lane, lc)
-    h = b_cum + a_cum * h0[:, :, None]                     # h_t
-    h_prev = pltpu.roll(h, 1, axis=2)
-    h_prev = jnp.where(lane >= 1, h_prev, h0[:, :, None])  # h_{t-1}
+    h = b_cum + a_cum * h0[:, :, :, None]                     # h_t
+    h_prev = pltpu.roll(h, 1, axis=3)
+    h_prev = jnp.where(lane >= 1, h_prev, h0[:, :, :, None])  # h_{t-1}
 
     # ---- reverse scan for g_t = G_t + a_{t+1} g_{t+1}, in place (no flips:
     # Mosaic lacks a rev primitive) via right-to-left doubling
-    G = gy[None, :, :] * Cm[:, None, :]                    # (n, d, Lc)
-    a_next_first = carry_scratch[0, :, :d]                 # (n, d)
-    g_next_first = carry_scratch[1, :, :d]
-    m = pltpu.roll(a, lc - 1, axis=2)                      # m_t = a_{t+1}
-    m = jnp.where(lane <= lc - 2, m, a_next_first[:, :, None])
+    G = gy[:, None, :, :] * Cm[:, :, None, :]                 # (gb, n, d, Lc)
+    a_next_first = carry_scratch[0, :, :, :d]                 # (gb, n, d)
+    g_next_first = carry_scratch[1, :, :, :d]
+    m = pltpu.roll(a, lc - 1, axis=3)                         # m_t = a_{t+1}
+    m = jnp.where(lane <= lc - 2, m, a_next_first[:, :, :, None])
     v = G
     shift = 1
     while shift < lc:
-        m_sh = pltpu.roll(m, lc - shift, axis=2)
-        v_sh = pltpu.roll(v, lc - shift, axis=2)
+        m_sh = pltpu.roll(m, lc - shift, axis=3)
+        v_sh = pltpu.roll(v, lc - shift, axis=3)
         valid = lane < lc - shift
         v = jnp.where(valid, v + m * v_sh, v)
         m = jnp.where(valid, m * m_sh, m)
         shift *= 2
-    g = v + m * g_next_first[:, :, None]                   # (n, d, Lc)
+    g = v + m * g_next_first[:, :, :, None]                   # (gb, n, d, Lc)
 
     # save carry for the next (earlier) chunk
-    carry_scratch[0, :, :d] = a[:, :, 0]
-    carry_scratch[1, :, :d] = g[:, :, 0]
+    carry_scratch[0, :, :, :d] = a[:, :, :, 0]
+    carry_scratch[1, :, :, :d] = g[:, :, :, 0]
 
     # ---- gradient contractions
-    da = g * h_prev                                        # (n, d, Lc)
-    gB = jnp.sum(g * Bm[:, None, :], axis=0)               # (d, Lc)
-    du_ref[0] = (dt * gB).astype(du_ref.dtype)
-    ddt = u * gB + jnp.sum(da * a * At[:, :, None], axis=0)
-    ddt_ref[0] = ddt.astype(ddt_ref.dtype)
-    dB_ref[0] = jnp.sum(g * s[None, :, :], axis=1).astype(dB_ref.dtype)
-    dC_ref[0] = jnp.sum(h * gy[None, :, :], axis=1).astype(dC_ref.dtype)
-    dA_scratch[:, :d] += jnp.sum(da * a * dt[None, :, :], axis=2)
+    da = g * h_prev                                           # (gb, n, d, Lc)
+    gB = jnp.sum(g * Bm[:, :, None, :], axis=1)               # (gb, d, Lc)
+    D = D_ref[...].astype(jnp.float32)                        # (gb, d, 1)
+    du_ref[...] = (dt * gB + D * gy).astype(du_ref.dtype)
+    ddt = u * gB + jnp.sum(da * a * At[:, :, :, None], axis=1)
+    if softplus:
+        ddt = ddt * jax.nn.sigmoid(pre)
+    ddt_ref[...] = ddt.astype(ddt_ref.dtype)
+    dB_ref[...] = jnp.sum(g * s[:, None, :, :], axis=2).astype(dB_ref.dtype)
+    dC_ref[...] = jnp.sum(h * gy[:, None, :, :], axis=2).astype(dC_ref.dtype)
+    dA_scratch[:, :, :d] += jnp.sum(da * a * dt[:, None, :, :], axis=3)
+    dDb_scratch[0, :, :d] += jnp.sum(gy * u, axis=2)          # dD partial
+    dDb_scratch[1, :, :d] += jnp.sum(ddt, axis=2)             # dbias partial
 
     @pl.when(j == nchunks - 1)
     def _():
-        dA_ref[0] = jnp.swapaxes(dA_scratch[:, :d], 0, 1).astype(dA_ref.dtype)
+        dA_ref[...] = jnp.swapaxes(dA_scratch[:, :, :d], 1, 2
+                                   ).astype(dA_ref.dtype)
+        # (2, gb, d) -> (gb, 2, d): Mosaic requires the last two block dims
+        # to equal the array dims, so the row axis leads
+        dDb_ref[...] = jnp.swapaxes(dDb_scratch[:, :, :d], 0, 1
+                                    ).astype(dDb_ref.dtype)
 
 
-def _prep_padded(u, delta, A, B, C, delta_bias, delta_softplus, chunk_size):
+# VMEM budget for the doubling scan's live (gb, n, d, Lc) fp32 tensors.
+# Empirically ~4 tensors are simultaneously live after Mosaic's buffer
+# reuse; the margin below 16MB covers operand blocks + double-buffered DMA
+# (measured: 12.6MB of scan tensors + fp32 operands = 16.19MB -> OOM).
+_VMEM_BUDGET = 11 * 1024 * 1024
+_LIVE_TENSORS = 4
+
+
+def _pick_gb(BG: int, n: int, dp: int, lc: int) -> int:
+    """Rows per grid cell: amortize fixed per-cell cost while keeping the
+    doubling-scan working set inside VMEM (~16 MB; leave headroom for
+    operands and double-buffered DMA)."""
+    import os
+
+    forced = os.environ.get("MLAGG_SCAN_GB")
+    if forced:
+        return int(forced)
+    per_row = n * dp * lc * 4 * _LIVE_TENSORS
+    for gb in (8, 4, 2):
+        if BG % gb == 0 and gb * per_row <= _VMEM_BUDGET:
+            return gb
+    return 1
+
+
+def _prep_padded(u, delta, A, B, C, D, delta_bias, chunk_size):
+    """Pad/flatten operands. u/delta/B/C keep their input dtype (the kernels
+    upcast in VMEM); bias+softplus and the D*u term are applied in-kernel."""
     b, g, d, L = u.shape
     n = A.shape[-1]
     BG = b * g
 
-    u = u.astype(jnp.float32)
-    delta = delta.astype(jnp.float32)
-    if delta_bias is not None:
-        delta = delta + delta_bias.astype(jnp.float32)[None, :, :, None]
-    if delta_softplus:
-        delta = jax.nn.softplus(delta)
-
-    lc = min(chunk_size, max(128, 1))
+    # Bigger chunks amortize per-grid-cell overhead (measured: lc=512 beats
+    # lc=128 by ~14% at MSMM shapes); shrink until the working set compiles.
+    lc = max(128, min(chunk_size, 1024))
+    lc = min(lc, max(128, L))
+    while lc > 128 and n * d * lc * 4 * _LIVE_TENSORS > _VMEM_BUDGET:
+        lc //= 2
     pad_l = (-L) % lc
     pad_d = (-d) % 8
     if pad_l or pad_d:
@@ -178,16 +238,26 @@ def _prep_padded(u, delta, A, B, C, delta_bias, delta_softplus, chunk_size):
         u_p, dt_p, B_p, C_p, A_p = u, delta, B, C, A
     dp, Lp = d + pad_d, L + pad_l
     nchunks = Lp // lc
+    gb = _pick_gb(BG, n, dp, lc)
 
     shapes = dict(b=b, g=g, d=d, L=L, n=n, BG=BG, dp=dp, Lp=Lp, lc=lc,
-                  nchunks=nchunks)
+                  nchunks=nchunks, gb=gb)
     u_f = u_p.reshape(BG, dp, Lp)
     dt_f = dt_p.reshape(BG, dp, Lp)
-    B_f = B_p.astype(jnp.float32).reshape(BG, n, Lp)
-    C_f = C_p.astype(jnp.float32).reshape(BG, n, Lp)
+    B_f = B_p.reshape(BG, n, Lp)
+    C_f = C_p.reshape(BG, n, Lp)
     A_f = jnp.broadcast_to(A_p.astype(jnp.float32)[None], (b, g, dp, n)
                            ).reshape(BG, dp, n)
-    return u_f, dt_f, A_f, B_f, C_f, shapes
+
+    def bcast_gd(x):
+        if x is None:
+            x_p = jnp.zeros((g, dp), jnp.float32)
+        else:
+            x_p = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, pad_d)))
+        return jnp.broadcast_to(x_p[None], (b, g, dp)).reshape(BG, dp, 1)
+
+    return (u_f, dt_f, bcast_gd(delta_bias), A_f, B_f, C_f, bcast_gd(D),
+            shapes)
 
 
 def _interpret():
@@ -196,38 +266,38 @@ def _interpret():
 
 def _pallas_forward(u, delta, A, B, C, D, delta_bias, delta_softplus,
                     chunk_size, with_states: bool = False):
-    u_f, dt_f, A_f, B_f, C_f, s = _prep_padded(
-        u, delta, A, B, C, delta_bias, delta_softplus, chunk_size)
+    u_f, dt_f, bias_f, A_f, B_f, C_f, D_f, s = _prep_padded(
+        u, delta, A, B, C, D, delta_bias, chunk_size)
     b, g, d, L, n = s["b"], s["g"], s["d"], s["L"], s["n"]
-    BG, dp, Lp, lc, nchunks = s["BG"], s["dp"], s["Lp"], s["lc"], s["nchunks"]
+    BG, dp, Lp, lc = s["BG"], s["dp"], s["Lp"], s["lc"]
+    nchunks, gb = s["nchunks"], s["gb"]
 
-    grid = (BG, nchunks)
+    grid = (BG // gb, nchunks)
     y, h0_states = pl.pallas_call(
-        functools.partial(_fwd_kernel, lc=lc),
+        functools.partial(_fwd_kernel, lc=lc, softplus=delta_softplus),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, dp, lc), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, dp, lc), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, dp, n), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, n, lc), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, n, lc), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((gb, dp, lc), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((gb, dp, lc), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((gb, dp, 1), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((gb, dp, n), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((gb, n, lc), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((gb, n, lc), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((gb, dp, 1), lambda i, j: (i, 0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, dp, lc), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, 1, n, dp), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((gb, dp, lc), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((gb, 1, n, dp), lambda i, j: (i, j, 0, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((BG, dp, Lp), jnp.float32),
             jax.ShapeDtypeStruct((BG, nchunks, n, dp), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((n, max(dp, 128)), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((gb, n, max(dp, 128)), jnp.float32)],
         interpret=_interpret(),
-    )(u_f, dt_f, A_f, B_f, C_f)
+    )(u_f, dt_f, bias_f, A_f, B_f, C_f, D_f)
 
     y = y.reshape(b, g, dp, Lp)[:, :, :d, :L]
-    if D is not None:
-        y = y + D.astype(jnp.float32)[None, :, :, None] \
-            * u.astype(jnp.float32)
     if with_states:
         return y, h0_states
     return y
@@ -236,37 +306,41 @@ def _pallas_forward(u, delta, A, B, C, D, delta_bias, delta_softplus,
 def _pallas_backward(u, delta, A, B, C, D, delta_bias, delta_softplus,
                      chunk_size, h0_states, gy):
     """Returns (du, ddelta, dA, dB, dC, dD, dbias) matching input shapes."""
-    u_f, dt_f, A_f, B_f, C_f, s = _prep_padded(
-        u, delta, A, B, C, delta_bias, delta_softplus, chunk_size)
+    u_f, dt_f, bias_f, A_f, B_f, C_f, D_f, s = _prep_padded(
+        u, delta, A, B, C, D, delta_bias, chunk_size)
     b, g, d, L, n = s["b"], s["g"], s["d"], s["L"], s["n"]
-    BG, dp, Lp, lc, nchunks = s["BG"], s["dp"], s["Lp"], s["lc"], s["nchunks"]
+    BG, dp, Lp, lc = s["BG"], s["dp"], s["Lp"], s["lc"]
+    nchunks, gb = s["nchunks"], s["gb"]
 
     gy_f = gy.astype(jnp.float32)
     if Lp != L or dp != d:
         gy_f = jnp.pad(gy_f, ((0, 0), (0, 0), (0, dp - d), (0, Lp - L)))
     gy_f = gy_f.reshape(BG, dp, Lp)
 
-    grid = (BG, nchunks)
+    grid = (BG // gb, nchunks)
     rev = nchunks - 1
 
-    du_c, ddt_c, dA_c, dB_c, dC_c = pl.pallas_call(
-        functools.partial(_bwd_kernel, lc=lc),
+    du_c, ddt_c, dA_c, dB_c, dC_c, dDb_c = pl.pallas_call(
+        functools.partial(_bwd_kernel, lc=lc, softplus=delta_softplus),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, dp, lc), lambda i, j: (i, 0, rev - j)),
-            pl.BlockSpec((1, dp, lc), lambda i, j: (i, 0, rev - j)),
-            pl.BlockSpec((1, dp, n), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, n, lc), lambda i, j: (i, 0, rev - j)),
-            pl.BlockSpec((1, n, lc), lambda i, j: (i, 0, rev - j)),
-            pl.BlockSpec((1, dp, lc), lambda i, j: (i, 0, rev - j)),
-            pl.BlockSpec((1, 1, n, dp), lambda i, j: (i, rev - j, 0, 0)),
+            pl.BlockSpec((gb, dp, lc), lambda i, j: (i, 0, rev - j)),
+            pl.BlockSpec((gb, dp, lc), lambda i, j: (i, 0, rev - j)),
+            pl.BlockSpec((gb, dp, 1), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((gb, dp, n), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((gb, n, lc), lambda i, j: (i, 0, rev - j)),
+            pl.BlockSpec((gb, n, lc), lambda i, j: (i, 0, rev - j)),
+            pl.BlockSpec((gb, dp, 1), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((gb, dp, lc), lambda i, j: (i, 0, rev - j)),
+            pl.BlockSpec((gb, 1, n, dp), lambda i, j: (i, rev - j, 0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, dp, lc), lambda i, j: (i, 0, rev - j)),
-            pl.BlockSpec((1, dp, lc), lambda i, j: (i, 0, rev - j)),
-            pl.BlockSpec((1, dp, n), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, n, lc), lambda i, j: (i, 0, rev - j)),
-            pl.BlockSpec((1, n, lc), lambda i, j: (i, 0, rev - j)),
+            pl.BlockSpec((gb, dp, lc), lambda i, j: (i, 0, rev - j)),
+            pl.BlockSpec((gb, dp, lc), lambda i, j: (i, 0, rev - j)),
+            pl.BlockSpec((gb, dp, n), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((gb, n, lc), lambda i, j: (i, 0, rev - j)),
+            pl.BlockSpec((gb, n, lc), lambda i, j: (i, 0, rev - j)),
+            pl.BlockSpec((gb, 2, dp), lambda i, j: (i, 0, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((BG, dp, Lp), jnp.float32),
@@ -274,39 +348,27 @@ def _pallas_backward(u, delta, A, B, C, D, delta_bias, delta_softplus,
             jax.ShapeDtypeStruct((BG, dp, n), jnp.float32),
             jax.ShapeDtypeStruct((BG, n, Lp), jnp.float32),
             jax.ShapeDtypeStruct((BG, n, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((BG, 2, dp), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, n, max(dp, 128)), jnp.float32),
-            pltpu.VMEM((n, max(dp, 128)), jnp.float32),
+            pltpu.VMEM((2, gb, n, max(dp, 128)), jnp.float32),
+            pltpu.VMEM((gb, n, max(dp, 128)), jnp.float32),
+            pltpu.VMEM((2, gb, max(dp, 128)), jnp.float32),
         ],
         interpret=_interpret(),
-    )(u_f, dt_f, A_f, B_f, C_f, gy_f, h0_states)
-
-    uf32 = u.astype(jnp.float32)
-    gyf32 = gy.astype(jnp.float32)
+    )(u_f, dt_f, bias_f, A_f, B_f, C_f, D_f, gy_f, h0_states)
 
     du = du_c.reshape(b, g, dp, Lp)[:, :, :d, :L]
-    ddt = ddt_c.reshape(b, g, dp, Lp)[:, :, :d, :L]
+    ddelta = ddt_c.reshape(b, g, dp, Lp)[:, :, :d, :L]
     dA_bg = dA_c.reshape(b, g, dp, n)[:, :, :d, :]
     dA = dA_bg.sum(0)                                       # (g, d, n)
     dB = dB_c.reshape(b, g, n, Lp)[..., :L]
     dC = dC_c.reshape(b, g, n, Lp)[..., :L]
 
-    if D is not None:
-        du = du + D.astype(jnp.float32)[None, :, :, None] * gyf32
-        dD = jnp.sum(gyf32 * uf32, axis=(0, 3))             # (g, d)
-    else:
-        dD = None
-
-    # chain ddelta through softplus(+bias)
-    if delta_softplus:
-        pre = delta.astype(jnp.float32)
-        if delta_bias is not None:
-            pre = pre + delta_bias.astype(jnp.float32)[None, :, :, None]
-        ddelta = ddt * jax.nn.sigmoid(pre)
-    else:
-        ddelta = ddt
-    dbias = (jnp.sum(ddelta, axis=(0, 3)) if delta_bias is not None else None)
+    dD_rows = dDb_c[:, 0].reshape(b, g, dp)[..., :d]
+    dbias_rows = dDb_c[:, 1].reshape(b, g, dp)[..., :d]
+    dD = dD_rows.sum(0) if D is not None else None          # (g, d)
+    dbias = dbias_rows.sum(0) if delta_bias is not None else None
 
     return (du.astype(u.dtype), ddelta.astype(delta.dtype),
             dA.astype(A.dtype), dB.astype(B.dtype), dC.astype(C.dtype),
@@ -346,7 +408,7 @@ def selective_scan_pallas(
     D: Optional[jnp.ndarray] = None,
     delta_bias: Optional[jnp.ndarray] = None,
     delta_softplus: bool = False,
-    chunk_size: int = 256,
+    chunk_size: int = 512,
 ) -> jnp.ndarray:
     """Same contract as ops.selective_scan.selective_scan:
     u/delta (b,g,d,l); A (g,d,n); B/C (b,g,n,l); D/delta_bias (g,d)."""
