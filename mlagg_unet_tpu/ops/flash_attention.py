@@ -182,7 +182,13 @@ def flash_attention(
         scale = 1.0 / math.sqrt(q.shape[-1])
     if use_pallas is None:
         on_tpu = jax.default_backend() == "tpu"
-        use_pallas = on_tpu and q.shape[2] * k.shape[2] >= 256 * 256
+        # flash pays off only when the KV axis is long enough that the
+        # streaming kernel saves real memory traffic; for the flagship's
+        # pooled branch (lk <= 56) the (lq, lk) score matrix is tiny and
+        # the fused-by-XLA einsum path is ~3x faster (measured: the Pallas
+        # kernel at lk=56, dk=24 runs at ~8% MXU utilization)
+        use_pallas = (on_tpu and k.shape[2] >= 512
+                      and q.shape[2] * k.shape[2] >= 256 * 256)
     if not use_pallas:
         return attention_reference(q, k, v, scale)
     return _flash_attention_pallas(q, k, v, scale, block_q, block_k)

@@ -69,36 +69,52 @@ def _load_dt(dt_ref, bias_ref, softplus: bool):
 
 
 def _fwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref, D_ref,
-                y_ref, h0_ref, h_scratch, *, lc: int, softplus: bool):
+                y_ref, h0_ref, h_scratch, *, lc: int, sub: int,
+                state_every: int, softplus: bool):
+    """Forward over one (gb, d, lc) mega-chunk, iterated in ``sub``-lane
+    sub-chunks. Sub-chunking keeps the doubling-scan working set at
+    sub-chunk size (VMEM-independent of lc -> big lc amortizes grid
+    overhead) and caps the doubling depth at log2(sub) full-data passes.
+    Chunk-start states are emitted every ``state_every`` lanes so the
+    backward (which uses state_every-sized chunks) can recompute h."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         h_scratch[:] = jnp.zeros_like(h_scratch)
 
-    u = u_ref[...].astype(jnp.float32)            # (gb, d, Lc)
-    _, dt = _load_dt(dt_ref, bias_ref, softplus)  # (gb, d, Lc)
     A = A_ref[...].astype(jnp.float32)            # (gb, d, n)
-    Bm = B_ref[...].astype(jnp.float32)           # (gb, n, Lc)
-    Cm = C_ref[...].astype(jnp.float32)           # (gb, n, Lc)
+    bias = bias_ref[...].astype(jnp.float32)      # (gb, d, 1)
 
     gb, d, n = A.shape[0], A.shape[1], A.shape[2]
     At = jnp.swapaxes(A, 1, 2)                    # (gb, n, d)
 
-    a = jnp.exp(dt[:, None, :, :] * At[:, :, :, None])      # (gb, n, d, Lc)
-    bx = (dt * u)[:, None, :, :] * Bm[:, :, None, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (gb, n, d, sub), dimension=3)
+    h0 = h_scratch[:, :, :d]                      # (gb, n, d)
+    Df = D_ref[...].astype(jnp.float32)           # (gb, d, 1)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (gb, n, d, lc), dimension=3)
-    a_cum, b_cum = _doubling_scan(a, bx, lane, lc)
+    # slice refs per sub-chunk so only (.., sub)-sized fp32 values are live
+    for s in range(lc // sub):
+        sl = slice(s * sub, (s + 1) * sub)
+        if (s * sub) % state_every == 0:
+            h0_ref[:, (s * sub) // state_every] = h0.astype(h0_ref.dtype)
+        dt_s = dt_ref[:, :, sl].astype(jnp.float32) + bias
+        if softplus:
+            dt_s = jax.nn.softplus(dt_s)           # (gb, d, sub)
+        u_s = u_ref[:, :, sl].astype(jnp.float32)
+        Bm = B_ref[:, :, sl].astype(jnp.float32)   # (gb, n, sub)
+        Cm = C_ref[:, :, sl].astype(jnp.float32)
 
-    h0 = h_scratch[:, :, :d]                      # (gb, n, d) chunk-start state
-    h0_ref[:, 0] = h0.astype(h0_ref.dtype)
-    h = b_cum + a_cum * h0[:, :, :, None]         # (gb, n, d, Lc)
+        a = jnp.exp(dt_s[:, None, :, :] * At[:, :, :, None])
+        bx = (dt_s * u_s)[:, None, :, :] * Bm[:, :, None, :]
+        a_cum, b_cum = _doubling_scan(a, bx, lane, sub)
+        h = b_cum + a_cum * h0[:, :, :, None]      # (gb, n, d, sub)
 
-    y = jnp.sum(h * Cm[:, :, None, :], axis=1)    # (gb, d, Lc)
-    y = y + D_ref[...].astype(jnp.float32) * u    # D: (gb, d, 1)
-    y_ref[...] = y.astype(y_ref.dtype)
-    h_scratch[:, :, :d] = h[:, :, :, lc - 1]
+        y = jnp.sum(h * Cm[:, :, None, :], axis=1) + Df * u_s
+        y_ref[:, :, sl] = y.astype(y_ref.dtype)
+        h0 = h[:, :, :, sub - 1]
+
+    h_scratch[:, :, :d] = h0
 
 
 def _bwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref, D_ref, gy_ref,
@@ -264,6 +280,10 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
+_FWD_SUB = 256          # doubling-scan sub-chunk (lanes)
+_FWD_MEGA_FACTOR = 4    # forward mega-chunk = factor * chunk_size
+
+
 def _pallas_forward(u, delta, A, B, C, D, delta_bias, delta_softplus,
                     chunk_size, with_states: bool = False):
     u_f, dt_f, bias_f, A_f, B_f, C_f, D_f, s = _prep_padded(
@@ -272,22 +292,33 @@ def _pallas_forward(u, delta, A, B, C, D, delta_bias, delta_softplus,
     BG, dp, Lp, lc = s["BG"], s["dp"], s["Lp"], s["lc"]
     nchunks, gb = s["nchunks"], s["gb"]
 
-    grid = (BG // gb, nchunks)
+    # forward mega-chunks: sub-chunked iteration keeps VMEM flat, so use
+    # bigger grid cells than the backward's doubling chunk
+    sub = min(_FWD_SUB, lc)
+    mega = lc * _FWD_MEGA_FACTOR
+    while mega > lc and Lp % mega:
+        mega //= 2
+    nmega = Lp // mega
+    states_per_mega = mega // lc
+
+    grid = (BG // gb, nmega)
     y, h0_states = pl.pallas_call(
-        functools.partial(_fwd_kernel, lc=lc, softplus=delta_softplus),
+        functools.partial(_fwd_kernel, lc=mega, sub=sub, state_every=lc,
+                          softplus=delta_softplus),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((gb, dp, lc), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((gb, dp, lc), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((gb, dp, mega), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((gb, dp, mega), lambda i, j: (i, 0, j)),
             pl.BlockSpec((gb, dp, 1), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((gb, dp, n), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((gb, n, lc), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((gb, n, lc), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((gb, n, mega), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((gb, n, mega), lambda i, j: (i, 0, j)),
             pl.BlockSpec((gb, dp, 1), lambda i, j: (i, 0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((gb, dp, lc), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((gb, 1, n, dp), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((gb, dp, mega), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((gb, states_per_mega, n, dp),
+                         lambda i, j: (i, j, 0, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((BG, dp, Lp), jnp.float32),
