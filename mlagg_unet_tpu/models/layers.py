@@ -222,10 +222,15 @@ class ConvTransposeTorch(nn.Module):
             (*(k,) * d, cin // self.feature_group_count, self.features),
         )
         # fractionally-strided conv: lhs_dilation=s + padding (k-1-p) gives
-        # the torch output size (in-1)*s - 2p + k; supports groups
+        # the torch output size (in-1)*s - 2p + k; supports groups.
+        # torch's ConvTranspose correlates with the spatially FLIPPED kernel
+        # (it is the adjoint of a forward conv), so flip here — this makes
+        # the module bit-match torch given a layout-converted weight.
+        kern = kernel.astype(x.dtype)
+        kern = kern[tuple(slice(None, None, -1) for _ in range(d))]
         y = jax.lax.conv_general_dilated(
             x,
-            kernel.astype(x.dtype),
+            kern,
             window_strides=(1,) * d,
             padding=((k - 1 - p, k - 1 - p),) * d,
             lhs_dilation=(s,) * d,

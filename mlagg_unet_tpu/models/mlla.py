@@ -84,7 +84,8 @@ class AggregatedAttention(nn.Module):
 
         q = nn.Dense(C, use_bias=self.qkv_bias, name="q")(x)  # (B,H,W,C)
         q = q * scale
-        kv = nn.Dense(2 * C, use_bias=self.qkv_bias, name="kv")(x)
+        kv_dense = nn.Dense(2 * C, use_bias=self.qkv_bias, name="kv")
+        kv = kv_dense(x)
         k, v = jnp.split(kv, 2, axis=-1)
         v_pe = v  # LePE positional term acts on pre-window v (:691,781-782)
 
@@ -108,7 +109,10 @@ class AggregatedAttention(nn.Module):
             x_ = nn.LayerNorm(name="norm")(
                 x_.reshape(B, pool_h * pool_w, C)
             )
-            kv_pool = nn.Dense(2 * C, use_bias=self.qkv_bias, name="kv_pool")(x_)
+            # the reference REUSES the same kv projection on the pooled
+            # tokens (:731 "k_pool, v_pool = self.kv(x_)") — not a separate
+            # set of weights
+            kv_pool = kv_dense(x_)
             k_pool, v_pool = jnp.split(kv_pool, 2, axis=-1)
             P = pool_h * pool_w
 

@@ -64,15 +64,107 @@ def load_torch_checkpoint_state_dict(path: str):
     return ckpt
 
 
+# ---------------------------------------------------------------------------
+# Reference-flagship key mapping (MLLA_Uper checkpoints).
+#
+# Verified end-to-end by tests/test_torch_parity.py: a reference
+# nnUNetTrainer_MLAgg_2D_dt_MS checkpoint converted through these rules
+# reproduces the torch forward to <=1e-4 relative on every output.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+REFERENCE_FLAGSHIP_RULES = [
+    (r"^mlla\.layers\.(\d+)\.blocks\.(\d+)\.", r"mlla.layer\1.block\2."),
+    (r"^mlla\.layers\.(\d+)\.downsample\.", r"mlla.down\1."),
+    (r"^mlla\.downs\.(\d+)\.norm\.", r"mlla.down\1.norm.GroupNorm_0."),
+    (r"^mlla\.downs\.(\d+)\.", r"mlla.down\1."),
+    (r"\.attn\.0\.", ".attn_local."),
+    (r"\.attn\.1\.", ".attn_pool."),
+    (r"^mambaskip\.blocks\.(\d+)\.", r"mambaskip.block\1."),
+    (r"\.conv2d\.(\d+)\.", r".conv2d_\1."),
+    (r"\.mlps\.(\d+)\.", r".mlp\1."),
+    (r"\.conv_branches\.(\d+)\.0\.", r".conv_branch\1."),
+    (r"\.conv_branches\.(\d+)\.1\.", r".conv_norm\1.GroupNorm_0."),
+    (r"^dec_block_(\d+)\.(\d+)\.", r"dec_block_\1_\2."),
+    (r"\.dwconv\.dwconv\.", ".DWConv2d_0.Conv_0."),
+    (r"\.dwc\.", ".dwc.Conv_0."),
+    (r"\.lepe\.", ".lepe.Conv_0."),
+    (r"\.fc1\.", ".Dense_0."),
+    (r"\.fc2\.", ".Dense_1."),
+    (r"^(encoder0|decoder0)\.(.*)\.conv\.", r"\1.\2."),
+    (r"^(dec_block_\d+_\d+)\.norm\.", r"\1.norm.GroupNorm_0."),
+    (r"^(up_\d+)\.norm\.", r"\1.norm.GroupNorm_0."),
+    (r"^(encoder0|decoder0)\.(.*)\.norm(\d)\.", r"\1.\2.norm\3.GroupNorm_0."),
+    (r"^out_(\d)\.conv_out\.conv\.", r"out_\1.conv_out."),
+]
+
+# keys whose tensors use torch's ConvTranspose layout (I, O/g, *k) —
+# including OutBlock, which the reference implements as ConvTranspose(k=1)
+_REFERENCE_TRANSPOSED = _re.compile(
+    r"(transp_conv|up_\d+\.conv1|up_\d+\.res_conv|out_\d+\.conv_out)"
+    r"(\.conv)?\.(weight|bias)$")
+
+
+def reference_key_to_flax(key: str) -> str:
+    for pat, rep in REFERENCE_FLAGSHIP_RULES:
+        key = _re.sub(pat, rep, key)
+    return key
+
+
+def convert_reference_flagship_state_dict(state_dict) -> Dict[str, np.ndarray]:
+    """torch MLLA_Uper state_dict -> {'a/b/c': array} in flax layout."""
+    out = {}
+    for key, tensor in state_dict.items():
+        if key.startswith("module."):
+            key = key[len("module."):]
+        if key == "dummy_tensor":
+            continue
+        arr = np.asarray(tensor.detach().cpu().numpy()
+                         if hasattr(tensor, "detach") else tensor)
+        # reference merges the K=4 scan directions: A_logs (K*d, n),
+        # Ds (K*d,) (MambaSkip.py:339-341); ours keep the K axis
+        if key.endswith("A_logs"):
+            arr = arr.reshape(4, -1, arr.shape[-1])
+        elif key.endswith(".Ds"):
+            arr = arr.reshape(4, -1)
+        transposed = bool(_REFERENCE_TRANSPOSED.search(key))
+        mapped = reference_key_to_flax(key)
+        parts = mapped.split(".")
+        leaf = parts[-1]
+        if leaf == "weight":
+            if arr.ndim >= 3:
+                if transposed:
+                    arr = np.moveaxis(arr, (0, 1), (-2, -1))
+                else:
+                    arr = np.moveaxis(arr, (0, 1), (-1, -2))
+                leaf = "kernel"
+            elif arr.ndim == 2:
+                arr = arr.T
+                leaf = "kernel"
+            else:
+                leaf = "scale"
+        out["/".join(parts[:-1] + [leaf])] = arr
+    return out
+
+
 def load_pretrained_torch_weights(params, torch_checkpoint_path: str,
-                                  verbose: bool = False
+                                  verbose: bool = False,
+                                  key_map: str = "generic",
                                   ) -> Tuple[dict, int, int]:
     """Name+shape-matched transfer from a torch .pth/.pt checkpoint into a
-    flax params tree. Returns (updated params, n_transferred, n_total)."""
+    flax params tree. Returns (updated params, n_transferred, n_total).
+
+    key_map="reference_flagship" applies the verified MLLA_Uper name/layout
+    mapping (see convert_reference_flagship_state_dict); "generic" uses the
+    plain layout conversion with exact-key matching."""
     import jax
 
     state_dict = load_torch_checkpoint_state_dict(torch_checkpoint_path)
-    src_flat = torch_state_dict_to_flat_numpy(state_dict)
+    if key_map == "reference_flagship":
+        src_flat = convert_reference_flagship_state_dict(state_dict)
+    else:
+        src_flat = torch_state_dict_to_flat_numpy(state_dict)
 
     n_transferred = 0
     n_total = 0

@@ -1,0 +1,326 @@
+"""Load the reference flagship torch model from /root/reference for
+numerical parity testing — WITHOUT its CUDA-only / unavailable deps.
+
+The reference model classes (MLLA_Uper and friends) live in
+nnUNetTrainer_MLAgg_2D_dt_MS.py below the trainer class, needing only
+torch + einops + four unavailable packages which we shim with exact-math
+CPU implementations:
+
+  * flash_attn.flash_attn_func  -> plain fp32 softmax attention in the
+    (B, S, H, D) flash layout with the same default scale (D**-0.5).
+    This matches the semantics the reference itself documents in its
+    commented non-flash fallback (nnUNetTrainer_MLAgg_2D_dt_MS.py:762-777).
+  * mamba_ssm selective_scan_fn -> sequential fp32 recurrence (the
+    mathematical definition the CUDA kernel implements).
+  * timm.models.layers          -> DropPath / to_2tuple / trunc_normal_.
+  * monai blocks/layers         -> UnetOutBlock / UnetrBasicBlock /
+    UnetrUpBlock / get_conv_layer / get_norm_layer following monai's
+    module structure (state_dict-compatible with real monai).
+
+NOTE on evidence strength: the MLLA encoder, MSMM (SS2D_skip), MedNeXt
+decoder and all the glue run the REFERENCE's own code; only the flash /
+selective-scan primitives (whose math is fixed) and the two monai head
+blocks are re-implemented here.
+
+Nothing from /root/reference is copied into the repo — the sources are
+exec'd at test time and the tests skip when the mount is absent.
+"""
+from __future__ import annotations
+
+import pathlib
+import sys
+import types
+
+import numpy as np
+
+REF_DIR = pathlib.Path(
+    "/root/reference/mlagg/nnunetv2/training/nnUNetTrainer")
+FLAGSHIP = REF_DIR / "nnUNetTrainer_MLAgg_2D_dt_MS.py"
+MAMBASKIP = REF_DIR / "variants/mamba/MambaSkip.py"
+
+
+def available() -> bool:
+    return FLAGSHIP.exists() and MAMBASKIP.exists()
+
+
+def _install_shims():
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    if "flash_attn" in sys.modules:
+        return
+
+    # ---------------- timm.models.layers ----------------
+    class DropPath(nn.Module):
+        def __init__(self, drop_prob=0.0):
+            super().__init__()
+            self.drop_prob = float(drop_prob or 0.0)
+
+        def forward(self, x):
+            if not self.training or self.drop_prob == 0.0:
+                return x
+            keep = 1.0 - self.drop_prob
+            shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+            mask = x.new_empty(shape).bernoulli_(keep)
+            return x / keep * mask
+
+    def to_2tuple(v):
+        return tuple(v) if isinstance(v, (tuple, list)) else (v, v)
+
+    def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+        with torch.no_grad():
+            tensor.normal_(mean, std).clamp_(mean + a * std, mean + b * std)
+        return tensor
+
+    timm = types.ModuleType("timm")
+    timm_models = types.ModuleType("timm.models")
+    timm_layers = types.ModuleType("timm.models.layers")
+    timm_layers.DropPath = DropPath
+    timm_layers.to_2tuple = to_2tuple
+    timm_layers.trunc_normal_ = trunc_normal_
+    timm.models = timm_models
+    timm_models.layers = timm_layers
+    sys.modules["timm"] = timm
+    sys.modules["timm.models"] = timm_models
+    sys.modules["timm.models.layers"] = timm_layers
+
+    # ---------------- flash_attn ----------------
+    def flash_attn_func(q, k, v, dropout_p=0.0, softmax_scale=None,
+                        causal=False, **kwargs):
+        assert not causal and dropout_p == 0.0
+        scale = softmax_scale if softmax_scale is not None \
+            else q.shape[-1] ** -0.5
+        s = torch.einsum("bqhd,bkhd->bhqk", q.float(), k.float()) * scale
+        p = s.softmax(dim=-1)
+        o = torch.einsum("bhqk,bkhd->bqhd", p, v.float())
+        return o.to(q.dtype)
+
+    flash = types.ModuleType("flash_attn")
+    flash.flash_attn_func = flash_attn_func
+    sys.modules["flash_attn"] = flash
+
+    # ---------------- mamba_ssm selective scan ----------------
+    def selective_scan_fn(u, delta, A, B, C, D=None, z=None,
+                          delta_bias=None, delta_softplus=False,
+                          return_last_state=False):
+        """Sequential fp32 S6 recurrence. u/delta: (b, KD, L); A: (KD, n);
+        B/C: (b, K, n, L) (group form); D/delta_bias: (KD,)."""
+        b, kd, L = u.shape
+        n = A.shape[1]
+        K = B.shape[1]
+        d = kd // K
+        uf = u.float()
+        delta = delta.float()
+        if delta_bias is not None:
+            delta = delta + delta_bias.float()[None, :, None]
+        if delta_softplus:
+            delta = F.softplus(delta)
+        Af = A.float()
+        Be = B.float().repeat_interleave(d, dim=1)      # (b, KD, n, L)
+        Ce = C.float().repeat_interleave(d, dim=1)
+        h = uf.new_zeros(b, kd, n)
+        ys = []
+        for t in range(L):
+            dt = delta[:, :, t].unsqueeze(-1)           # (b, KD, 1)
+            h = torch.exp(dt * Af[None]) * h \
+                + dt * Be[:, :, :, t] * uf[:, :, t].unsqueeze(-1)
+            ys.append((h * Ce[:, :, :, t]).sum(-1))
+        y = torch.stack(ys, dim=-1)                     # (b, KD, L) fp32
+        if D is not None:
+            y = y + D.float()[None, :, None] * uf
+        if z is not None:
+            y = y * F.silu(z.float())
+        if return_last_state:
+            return y, h
+        return y
+
+    mamba = types.ModuleType("mamba_ssm")
+    mamba_ops = types.ModuleType("mamba_ssm.ops")
+    mamba_iface = types.ModuleType("mamba_ssm.ops.selective_scan_interface")
+    mamba_iface.selective_scan_fn = selective_scan_fn
+    mamba_iface.selective_scan_ref = selective_scan_fn
+    mamba.ops = mamba_ops
+    mamba_ops.selective_scan_interface = mamba_iface
+    sys.modules["mamba_ssm"] = mamba
+    sys.modules["mamba_ssm.ops"] = mamba_ops
+    sys.modules["mamba_ssm.ops.selective_scan_interface"] = mamba_iface
+
+    # ---------------- monai (blocks used by the flagship) ----------------
+    def _norm(name, spatial_dims, channels):
+        if isinstance(name, tuple):
+            name = name[0]
+        assert str(name).lower() == "instance", name
+        cls = nn.InstanceNorm2d if spatial_dims == 2 else nn.InstanceNorm3d
+        return cls(channels, affine=True)
+
+    class _Convolution(nn.Sequential):
+        """monai Convolution with act/norm None: Sequential holding 'conv'."""
+
+        def __init__(self, spatial_dims, in_ch, out_ch, kernel_size=3,
+                     stride=1, bias=True, is_transposed=False,
+                     output_padding=None):
+            super().__init__()
+            conv_cls = (
+                (nn.ConvTranspose2d if spatial_dims == 2
+                 else nn.ConvTranspose3d) if is_transposed
+                else (nn.Conv2d if spatial_dims == 2 else nn.Conv3d))
+            k = kernel_size
+            if is_transposed:
+                # monai: padding = (k-1)//2, output_padding chosen so the
+                # output is exactly stride * input
+                pad = (k - 1) // 2
+                opad = (stride + 2 * pad - k) if output_padding is None \
+                    else output_padding
+                conv = conv_cls(in_ch, out_ch, k, stride, padding=pad,
+                                output_padding=opad, bias=bias)
+            else:
+                conv = conv_cls(in_ch, out_ch, k, stride,
+                                padding=(k - 1) // 2, bias=bias)
+            self.add_module("conv", conv)
+
+    def get_conv_layer(spatial_dims, in_channels, out_channels,
+                       kernel_size=3, stride=1, act=None, norm=None,
+                       dropout=None, bias=True, conv_only=False,
+                       is_transposed=False):
+        assert act is None and norm is None and not dropout
+        return _Convolution(spatial_dims, in_channels, out_channels,
+                            kernel_size, stride, bias=bias,
+                            is_transposed=is_transposed)
+
+    class UnetResBlock(nn.Module):
+        """monai.networks.blocks.dynunet_block.UnetResBlock semantics."""
+
+        def __init__(self, spatial_dims, in_channels, out_channels,
+                     kernel_size, stride, norm_name, act_name=None,
+                     dropout=None):
+            super().__init__()
+            self.conv1 = get_conv_layer(spatial_dims, in_channels,
+                                        out_channels, kernel_size, stride)
+            self.conv2 = get_conv_layer(spatial_dims, out_channels,
+                                        out_channels, kernel_size, 1)
+            self.lrelu = nn.LeakyReLU(0.01, inplace=True)
+            self.norm1 = _norm(norm_name, spatial_dims, out_channels)
+            self.norm2 = _norm(norm_name, spatial_dims, out_channels)
+            self.downsample = (in_channels != out_channels
+                               or np.any(np.atleast_1d(stride) != 1))
+            if self.downsample:
+                self.conv3 = get_conv_layer(spatial_dims, in_channels,
+                                            out_channels, 1, stride)
+                self.norm3 = _norm(norm_name, spatial_dims, out_channels)
+
+        def forward(self, inp):
+            residual = inp
+            out = self.lrelu(self.norm1(self.conv1(inp)))
+            out = self.norm2(self.conv2(out))
+            if self.downsample:
+                residual = self.norm3(self.conv3(residual))
+            return self.lrelu(out + residual)
+
+    class UnetrBasicBlock(nn.Module):
+        def __init__(self, spatial_dims, in_channels, out_channels,
+                     kernel_size, stride, norm_name, res_block=True):
+            super().__init__()
+            assert res_block
+            self.layer = UnetResBlock(spatial_dims, in_channels,
+                                      out_channels, kernel_size, stride,
+                                      norm_name)
+
+        def forward(self, x):
+            return self.layer(x)
+
+    class UnetrUpBlock(nn.Module):
+        def __init__(self, spatial_dims, in_channels, out_channels,
+                     kernel_size, upsample_kernel_size, norm_name,
+                     res_block=True):
+            super().__init__()
+            assert res_block
+            self.transp_conv = get_conv_layer(
+                spatial_dims, in_channels, out_channels,
+                upsample_kernel_size, upsample_kernel_size,
+                conv_only=True, is_transposed=True)
+            self.conv_block = UnetResBlock(
+                spatial_dims, out_channels + out_channels, out_channels,
+                kernel_size, 1, norm_name)
+
+        def forward(self, inp, skip):
+            out = self.transp_conv(inp)
+            out = torch.cat((out, skip), dim=1)
+            return self.conv_block(out)
+
+    class UnetOutBlock(nn.Module):
+        def __init__(self, spatial_dims, in_channels, out_channels,
+                     dropout=None):
+            super().__init__()
+            self.conv = get_conv_layer(spatial_dims, in_channels,
+                                       out_channels, 1, 1)
+
+        def forward(self, x):
+            return self.conv(x)
+
+    monai = types.ModuleType("monai")
+    m_networks = types.ModuleType("monai.networks")
+    m_blocks = types.ModuleType("monai.networks.blocks")
+    m_dyn = types.ModuleType("monai.networks.blocks.dynunet_block")
+    m_layers = types.ModuleType("monai.networks.layers")
+    m_lutils = types.ModuleType("monai.networks.layers.utils")
+    m_blocks.UnetOutBlock = UnetOutBlock
+    m_blocks.UnetrBasicBlock = UnetrBasicBlock
+    m_blocks.UnetrUpBlock = UnetrUpBlock
+    m_dyn.get_conv_layer = get_conv_layer
+    m_dyn.UnetResBlock = UnetResBlock
+    m_lutils.get_norm_layer = _norm
+    monai.networks = m_networks
+    m_networks.blocks = m_blocks
+    m_networks.layers = m_layers
+    m_blocks.dynunet_block = m_dyn
+    m_layers.utils = m_lutils
+    sys.modules["monai"] = monai
+    sys.modules["monai.networks"] = m_networks
+    sys.modules["monai.networks.blocks"] = m_blocks
+    sys.modules["monai.networks.blocks.dynunet_block"] = m_dyn
+    sys.modules["monai.networks.layers"] = m_layers
+    sys.modules["monai.networks.layers.utils"] = m_lutils
+
+
+_cache = {}
+
+
+def load_reference_modules():
+    """Returns (mambaskip_module, flagship_model_module) with the
+    reference's model classes, exec'd from /root/reference sources."""
+    if "mods" in _cache:
+        return _cache["mods"]
+    _install_shims()
+
+    # MambaSkip.py: everything above its __main__ guard
+    src = MAMBASKIP.read_text()
+    src = src[: src.index("if __name__ ==")]
+    ms = types.ModuleType("ref_mambaskip")
+    ms.__file__ = str(MAMBASKIP)
+    exec(compile(src, str(MAMBASKIP), "exec"), ms.__dict__)
+
+    # register so the flagship's import resolves to the exec'd module
+    pkgs = ["nnunetv2", "nnunetv2.training", "nnunetv2.training.nnUNetTrainer",
+            "nnunetv2.training.nnUNetTrainer.variants",
+            "nnunetv2.training.nnUNetTrainer.variants.mamba"]
+    for p in pkgs:
+        sys.modules.setdefault(p, types.ModuleType(p))
+    sys.modules[
+        "nnunetv2.training.nnUNetTrainer.variants.mamba.MambaSkip"] = ms
+
+    # flagship file: model section only (from its mid-file import block,
+    # right after the trainer class, to its __main__ guard). The top-of-file
+    # imports the slice relies on are re-established by the prelude.
+    src = FLAGSHIP.read_text()
+    start = src.index("import sys\nimport torch.utils.checkpoint")
+    end = src.index("if __name__ ==")
+    prelude = ("import math\nimport torch\nimport numpy as np\n"
+               "from torch import nn\nimport torch.nn.functional as F\n")
+    fl = types.ModuleType("ref_flagship")
+    fl.__file__ = str(FLAGSHIP)
+    exec(compile(prelude + src[start:end], str(FLAGSHIP), "exec"),
+         fl.__dict__)
+
+    _cache["mods"] = (ms, fl)
+    return ms, fl
