@@ -26,6 +26,18 @@ from mlagg_unet_tpu.models.layers import (
 )
 
 
+def _apply_grn(block: nn.Module, x1, d: int):
+    """Global response normalization (blocks_new.py:92-99). Down/Up blocks
+    inherit it from MedNeXtBlock in the reference, so all three apply it."""
+    shape = (1,) * (d + 1) + (x1.shape[-1],)
+    grn_beta = block.param("grn_beta", nn.initializers.zeros, shape)
+    grn_gamma = block.param("grn_gamma", nn.initializers.zeros, shape)
+    spatial_axes = tuple(range(1, d + 1))
+    gx = jnp.sqrt(jnp.sum(x1 * x1, axis=spatial_axes, keepdims=True))
+    nx = gx / (gx.mean(axis=-1, keepdims=True) + 1e-6)
+    return grn_gamma * (x1 * nx) + grn_beta + x1
+
+
 class MedNeXtBlock(nn.Module):
     """flagship :230-324. NHWC/NDHWC in/out."""
 
@@ -46,13 +58,7 @@ class MedNeXtBlock(nn.Module):
         x1 = ChannelGroupNorm(name="norm")(x1)
         x1 = gelu(nn.Conv(self.exp_r * cin, (1,) * d, name="conv2")(x1))
         if self.grn:
-            shape = (1,) * (d + 1) + (self.exp_r * cin,)
-            grn_beta = self.param("grn_beta", nn.initializers.zeros, shape)
-            grn_gamma = self.param("grn_gamma", nn.initializers.zeros, shape)
-            spatial_axes = tuple(range(1, d + 1))
-            gx = jnp.sqrt(jnp.sum(x1 * x1, axis=spatial_axes, keepdims=True))
-            nx = gx / (gx.mean(axis=-1, keepdims=True) + 1e-6)
-            x1 = grn_gamma * (x1 * nx) + grn_beta + x1
+            x1 = _apply_grn(self, x1, d)
         x1 = nn.Conv(self.out_channels, (1,) * d, name="conv3")(x1)
         if self.do_res:
             x1 = x + x1
@@ -81,6 +87,8 @@ class MedNeXtDownBlock(nn.Module):
                      feature_group_count=cin, name="conv1")(x)
         x1 = ChannelGroupNorm(name="norm")(x1)
         x1 = gelu(nn.Conv(self.exp_r * cin, (1,) * d, name="conv2")(x1))
+        if self.grn:
+            x1 = _apply_grn(self, x1, d)
         x1 = nn.Conv(self.out_channels, (1,) * d, name="conv3")(x1)
         if self.do_res:
             res = nn.Conv(self.out_channels, (1,) * d, strides=s,
@@ -111,6 +119,8 @@ class MedNeXtUpBlock(nn.Module):
         )(x)
         x1 = ChannelGroupNorm(name="norm")(x1)
         x1 = gelu(nn.Conv(self.exp_r * cin, (1,) * d, name="conv2")(x1))
+        if self.grn:
+            x1 = _apply_grn(self, x1, d)
         x1 = nn.Conv(self.out_channels, (1,) * d, name="conv3")(x1)
         x1 = pad_top_left(x1)
         if self.do_res:

@@ -112,8 +112,27 @@ def reference_key_to_flax(key: str) -> str:
     return key
 
 
-def convert_reference_flagship_state_dict(state_dict) -> Dict[str, np.ndarray]:
-    """torch MLLA_Uper state_dict -> {'a/b/c': array} in flax layout."""
+# MedNeXt family checkpoints (network_architecture/mednextv1/
+# MedNextV1_new.py and MedNextV1_new_Mambaskip.py)
+REFERENCE_MEDNEXT_RULES = [
+    # MSMM skip module (Mambaskip variant)
+    (r"^mambaskip\.blocks\.(\d+)\.", r"mambaskip.block\1."),
+    (r"\.conv2d\.(\d+)\.", r".conv2d_\1."),
+    (r"\.mlps\.(\d+)\.", r".mlp\1."),
+    (r"\.conv_branches\.(\d+)\.0\.", r".conv_branch\1."),
+    (r"\.conv_branches\.(\d+)\.1\.", r".conv_norm\1.GroupNorm_0."),
+    (r"\.dwconv\.dwconv\.", ".DWConv2d_0.Conv_0."),
+    (r"\.fc1\.", ".Dense_0."),
+    (r"\.fc2\.", ".Dense_1."),
+    # MedNeXt trunk
+    (r"^(enc_block|dec_block)_(\d+)\.(\d+)\.", r"\1_\2_\3."),
+    (r"^bottleneck\.(\d+)\.", r"bottleneck_\1."),
+    (r"\.norm\.", ".norm.GroupNorm_0."),
+    (r"^out_(\d)\.conv_out\.conv\.", r"out_\1.conv_out."),
+]
+
+
+def _convert_reference_state_dict(state_dict, rules) -> Dict[str, np.ndarray]:
     out = {}
     for key, tensor in state_dict.items():
         if key.startswith("module."):
@@ -128,13 +147,22 @@ def convert_reference_flagship_state_dict(state_dict) -> Dict[str, np.ndarray]:
             arr = arr.reshape(4, -1, arr.shape[-1])
         elif key.endswith(".Ds"):
             arr = arr.reshape(4, -1)
+        elif key.endswith(("grn_beta", "grn_gamma")):
+            # torch channels-first (1, C, 1, 1[, 1]) -> channels-last
+            arr = np.moveaxis(arr, 1, -1)
         transposed = bool(_REFERENCE_TRANSPOSED.search(key))
-        mapped = reference_key_to_flax(key)
+        mapped = key
+        for pat, rep in rules:
+            mapped = _re.sub(pat, rep, mapped)
         parts = mapped.split(".")
         leaf = parts[-1]
         if leaf == "weight":
             if arr.ndim >= 3:
-                if transposed:
+                # torch ConvTranspose stores (I, O/g, *k); ours is
+                # (*k, I/g, O). For DEPTHWISE transposed convs (O/g == 1,
+                # e.g. MedNeXtUpBlock conv1) the torch dim-0 is the group
+                # axis and maps to our LAST axis — same as a forward conv.
+                if transposed and arr.shape[1] != 1:
                     arr = np.moveaxis(arr, (0, 1), (-2, -1))
                 else:
                     arr = np.moveaxis(arr, (0, 1), (-1, -2))
@@ -146,6 +174,18 @@ def convert_reference_flagship_state_dict(state_dict) -> Dict[str, np.ndarray]:
                 leaf = "scale"
         out["/".join(parts[:-1] + [leaf])] = arr
     return out
+
+
+def convert_reference_flagship_state_dict(state_dict) -> Dict[str, np.ndarray]:
+    """torch MLLA_Uper state_dict -> {'a/b/c': array} in flax layout."""
+    return _convert_reference_state_dict(state_dict,
+                                         REFERENCE_FLAGSHIP_RULES)
+
+
+def convert_reference_mednext_state_dict(state_dict) -> Dict[str, np.ndarray]:
+    """torch MedNeXt (MedNextV1_new) state_dict -> flax layout."""
+    return _convert_reference_state_dict(state_dict,
+                                         REFERENCE_MEDNEXT_RULES)
 
 
 def load_pretrained_torch_weights(params, torch_checkpoint_path: str,
@@ -163,6 +203,8 @@ def load_pretrained_torch_weights(params, torch_checkpoint_path: str,
     state_dict = load_torch_checkpoint_state_dict(torch_checkpoint_path)
     if key_map == "reference_flagship":
         src_flat = convert_reference_flagship_state_dict(state_dict)
+    elif key_map == "reference_mednext":
+        src_flat = convert_reference_mednext_state_dict(state_dict)
     else:
         src_flat = torch_state_dict_to_flat_numpy(state_dict)
 

@@ -37,6 +37,8 @@ REF_DIR = pathlib.Path(
     "/root/reference/mlagg/nnunetv2/training/nnUNetTrainer")
 FLAGSHIP = REF_DIR / "nnUNetTrainer_MLAgg_2D_dt_MS.py"
 MAMBASKIP = REF_DIR / "variants/mamba/MambaSkip.py"
+MEDNEXT_DIR = pathlib.Path(
+    "/root/reference/mlagg/nnunetv2/network_architecture/mednextv1")
 
 
 def available() -> bool:
@@ -324,3 +326,46 @@ def load_reference_modules():
 
     _cache["mods"] = (ms, fl)
     return ms, fl
+
+
+def load_reference_mednext():
+    """Exec the reference MedNeXt net (blocks_new + MedNextV1_new) —
+    torch-only sources, no shims needed beyond what's installed."""
+    if "mednext" in _cache:
+        return _cache["mednext"]
+    _install_shims()
+    blocks = types.ModuleType("ref_mednext_blocks")
+    src = (MEDNEXT_DIR / "blocks_new.py").read_text()
+    exec(compile(src, str(MEDNEXT_DIR / "blocks_new.py"), "exec"),
+         blocks.__dict__)
+    sys.modules.setdefault("nnunetv2.network_architecture",
+                           types.ModuleType("nnunetv2.network_architecture"))
+    sys.modules.setdefault(
+        "nnunetv2.network_architecture.mednextv1",
+        types.ModuleType("nnunetv2.network_architecture.mednextv1"))
+    sys.modules["nnunetv2.network_architecture.mednextv1.blocks_new"] = blocks
+
+    net_mod = types.ModuleType("ref_mednext")
+    src = (MEDNEXT_DIR / "MedNextV1_new.py").read_text()
+    if "if __name__ ==" in src:
+        src = src[: src.index("if __name__ ==")]
+    exec(compile(src, str(MEDNEXT_DIR / "MedNextV1_new.py"), "exec"),
+         net_mod.__dict__)
+    _cache["mednext"] = net_mod
+    return net_mod
+
+
+def load_reference_mednext_mambaskip():
+    """Exec the reference MedNextV1_new_Mambaskip (MSMM over 5 streams)."""
+    if "mednext_ms" in _cache:
+        return _cache["mednext_ms"]
+    load_reference_modules()     # registers the MambaSkip module + shims
+    load_reference_mednext()     # registers blocks_new
+    net_mod = types.ModuleType("ref_mednext_mambaskip")
+    path = MEDNEXT_DIR / "MedNextV1_new_Mambaskip.py"
+    src = path.read_text()
+    if "if __name__ ==" in src:
+        src = src[: src.index("if __name__ ==")]
+    exec(compile(src, str(path), "exec"), net_mod.__dict__)
+    _cache["mednext_ms"] = net_mod
+    return net_mod

@@ -121,3 +121,125 @@ def test_flagship_forward_parity(size):
         scale = np.abs(ref_np).max() + 1e-8
         rel = np.abs(got - ref_np).max() / scale
         assert rel < 2e-3, f"output {i}: rel err {rel}"
+
+
+def test_mednext_forward_parity():
+    """Reference MedNeXt (MedNextV1_new.py) vs our MedNeXtNet, transferred
+    weights, deep supervision on."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    import flax
+
+    from mlagg_unet_tpu.models.mednext_net import MedNeXtNet
+    from mlagg_unet_tpu.training.torch_import import (
+        convert_reference_mednext_state_dict,
+    )
+
+    mod = rt.load_reference_mednext()
+    torch.manual_seed(0)
+    net = mod.MedNeXt(
+        in_channels=2, n_channels=32, n_classes=3, exp_r=2, kernel_size=3,
+        deep_supervision=True, do_res=True, do_res_up_down=True,
+        block_counts=[2] * 9, dim="2d", grn=True)
+    net.eval()
+
+    model = MedNeXtNet(n_classes=3, n_channels=32, exp_r=2, kernel_size=3,
+                       deep_supervision=True, do_res=True,
+                       do_res_up_down=True, block_counts=(2,) * 9,
+                       grn=True, spatial_dims=2)
+    x_np = np.random.RandomState(1).randn(1, 64, 64, 2).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x_np))["params"]
+    flat, _ = flax_flat(params)
+
+    converted = {tuple(k.split("/")): v for k, v in
+                 convert_reference_mednext_state_dict(
+                     net.state_dict()).items()}
+    missing = sorted(set(flat) - set(converted))
+    extra = sorted(set(converted) - set(flat))
+    assert not missing and not extra, (
+        ["flax-only: " + "/".join(k) for k in missing[:20]]
+        + ["torch-only: " + "/".join(k) for k in extra[:20]])
+    mismatched = [(k, flat[k].shape, converted[k].shape) for k in flat
+                  if tuple(flat[k].shape) != tuple(converted[k].shape)]
+    assert not mismatched, mismatched[:10]
+
+    new_params = flax.core.unfreeze(params)
+    for path, val in converted.items():
+        node = new_params
+        for p in path[:-1]:
+            node = node[p]
+        node[path[-1]] = jnp.asarray(val)
+
+    with torch.no_grad():
+        ref_outs = net(torch.from_numpy(np.transpose(x_np, (0, 3, 1, 2))))
+
+    outs = model.apply({"params": new_params}, jnp.asarray(x_np))
+    assert len(outs) == len(ref_outs)
+    for i, (mine, ref) in enumerate(zip(outs, ref_outs)):
+        ref_np = np.transpose(ref.numpy(), (0, 2, 3, 1))
+        got = np.asarray(mine, dtype=np.float32)
+        rel = np.abs(got - ref_np).max() / (np.abs(ref_np).max() + 1e-8)
+        assert rel < 2e-3, f"output {i}: rel err {rel}"
+
+
+def test_mednext_mambaskip_forward_parity():
+    """Reference MedNextV1_new_Mambaskip (MSMM over the 5 residual
+    streams, MedNextV1_new_Mambaskip.py:178,330) vs our
+    MedNeXtNet(use_mamba_skip=True)."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    import flax
+
+    from mlagg_unet_tpu.models.mednext_net import MedNeXtNet
+    from mlagg_unet_tpu.training.torch_import import (
+        convert_reference_mednext_state_dict,
+    )
+
+    mod = rt.load_reference_mednext_mambaskip()
+    torch.manual_seed(0)
+    net = mod.MedNeXt(
+        in_channels=1, n_channels=32, n_classes=3, exp_r=2, kernel_size=3,
+        deep_supervision=True, do_res=True, do_res_up_down=True,
+        block_counts=[1] * 9, dim="2d")
+    net.eval()
+
+    model = MedNeXtNet(n_classes=3, n_channels=32, exp_r=2, kernel_size=3,
+                       deep_supervision=True, do_res=True,
+                       do_res_up_down=True, block_counts=(1,) * 9,
+                       spatial_dims=2, use_mamba_skip=True,
+                       mamba_hidden_dim=16)
+    x_np = np.random.RandomState(2).randn(1, 64, 64, 1).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x_np))["params"]
+    flat, _ = flax_flat(params)
+
+    converted = {tuple(k.split("/")): v for k, v in
+                 convert_reference_mednext_state_dict(
+                     net.state_dict()).items()}
+    missing = sorted(set(flat) - set(converted))
+    extra = sorted(set(converted) - set(flat))
+    assert not missing and not extra, (
+        ["flax-only: " + "/".join(k) for k in missing[:20]]
+        + ["torch-only: " + "/".join(k) for k in extra[:20]])
+    mismatched = [(k, flat[k].shape, converted[k].shape) for k in flat
+                  if tuple(flat[k].shape) != tuple(converted[k].shape)]
+    assert not mismatched, mismatched[:10]
+
+    new_params = flax.core.unfreeze(params)
+    for path, val in converted.items():
+        node = new_params
+        for p in path[:-1]:
+            node = node[p]
+        node[path[-1]] = jnp.asarray(val)
+
+    with torch.no_grad():
+        ref_outs = net(torch.from_numpy(np.transpose(x_np, (0, 3, 1, 2))))
+
+    outs = model.apply({"params": new_params}, jnp.asarray(x_np))
+    assert len(outs) == len(ref_outs)
+    for i, (mine, ref) in enumerate(zip(outs, ref_outs)):
+        ref_np = np.transpose(ref.numpy(), (0, 2, 3, 1))
+        got = np.asarray(mine, dtype=np.float32)
+        rel = np.abs(got - ref_np).max() / (np.abs(ref_np).max() + 1e-8)
+        assert rel < 2e-3, f"output {i}: rel err {rel}"
