@@ -143,9 +143,10 @@ def _convert_reference_state_dict(state_dict, rules) -> Dict[str, np.ndarray]:
                          if hasattr(tensor, "detach") else tensor)
         # reference merges the K=4 scan directions: A_logs (K*d, n),
         # Ds (K*d,) (MambaSkip.py:339-341); ours keep the K axis
-        if key.endswith("A_logs"):
+        leaf_name = key.split(".")[-1]
+        if leaf_name == "A_logs":
             arr = arr.reshape(4, -1, arr.shape[-1])
-        elif key.endswith(".Ds"):
+        elif leaf_name == "Ds":
             arr = arr.reshape(4, -1)
         elif key.endswith(("grn_beta", "grn_gamma")):
             # torch channels-first (1, C, 1, 1[, 1]) -> channels-last

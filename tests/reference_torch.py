@@ -148,6 +148,49 @@ def _install_shims():
     sys.modules["mamba_ssm.ops"] = mamba_ops
     sys.modules["mamba_ssm.ops.selective_scan_interface"] = mamba_iface
 
+    # ------- selective_scan_cuda{,_core,_oflex} (VMamba wrappers) -------
+    def _cuda_fwd(u, delta, A, B, C, D, delta_bias, delta_softplus):
+        if B.dim() == 3:
+            B = B.unsqueeze(1)
+            C = C.unsqueeze(1)
+        out = selective_scan_fn(u, delta, A, B, C, D=D,
+                                delta_bias=delta_bias,
+                                delta_softplus=delta_softplus)
+        return out, torch.empty(0)
+
+    sscuda = types.ModuleType("selective_scan_cuda")
+    sscuda.fwd = lambda u, d, A, B, C, D, z, db, dsp: _cuda_fwd(
+        u, d, A, B, C, D, db, dsp)
+    sscore = types.ModuleType("selective_scan_cuda_core")
+    sscore.fwd = lambda u, d, A, B, C, D, db, dsp, nrows: _cuda_fwd(
+        u, d, A, B, C, D, db, dsp)
+    ssoflex = types.ModuleType("selective_scan_cuda_oflex")
+    ssoflex.fwd = lambda u, d, A, B, C, D, db, dsp, nrows, oflex: _cuda_fwd(
+        u, d, A, B, C, D, db, dsp)
+    sys.modules["selective_scan_cuda"] = sscuda
+    sys.modules["selective_scan_cuda_core"] = sscore
+    sys.modules["selective_scan_cuda_oflex"] = ssoflex
+
+    # ------- fake triton (csm_triton decorates at module level) -------
+    class _FakeJit:
+        def __call__(self, fn=None, **kw):
+            if fn is None:
+                return lambda f: f
+            return fn
+
+    triton = types.ModuleType("triton")
+    triton.jit = _FakeJit()
+    tl = types.ModuleType("triton.language")
+
+    class _AnyAttr:
+        def __getattr__(self, name):
+            return object
+
+    tl.constexpr = object
+    triton.language = tl
+    sys.modules["triton"] = triton
+    sys.modules["triton.language"] = tl
+
     # ---------------- monai (blocks used by the flagship) ----------------
     def _norm(name, spatial_dims, channels):
         if isinstance(name, tuple):
@@ -369,3 +412,36 @@ def load_reference_mednext_mambaskip():
     exec(compile(src, str(path), "exec"), net_mod.__dict__)
     _cache["mednext_ms"] = net_mod
     return net_mod
+
+
+VMAMBA_DIR = REF_DIR / "variants/mamba/vmamba"
+
+
+def load_reference_vmamba():
+    """Exec the reference VMamba backbone lib (csms6s + csm_triton +
+    vmamba) with fake triton / selective_scan_cuda shims. Returns the
+    vmamba module (SS2D, VSSBlock, VSSM, ...)."""
+    if "vmamba" in _cache:
+        return _cache["vmamba"]
+    _install_shims()
+
+    pkg = types.ModuleType("refvmamba")
+    pkg.__path__ = []
+    sys.modules["refvmamba"] = pkg
+
+    for name in ("csm_triton", "csms6s"):
+        m = types.ModuleType(f"refvmamba.{name}")
+        m.__package__ = "refvmamba"
+        src = (VMAMBA_DIR / f"{name}.py").read_text()
+        exec(compile(src, str(VMAMBA_DIR / f"{name}.py"), "exec"), m.__dict__)
+        sys.modules[f"refvmamba.{name}"] = m
+        setattr(pkg, name, m)
+
+    vm = types.ModuleType("refvmamba.vmamba")
+    vm.__package__ = "refvmamba"
+    src = (VMAMBA_DIR / "vmamba.py").read_text()
+    if "if __name__ ==" in src:
+        src = src[: src.index("if __name__ ==")]
+    exec(compile(src, str(VMAMBA_DIR / "vmamba.py"), "exec"), vm.__dict__)
+    _cache["vmamba"] = vm
+    return vm

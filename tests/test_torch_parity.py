@@ -243,3 +243,56 @@ def test_mednext_mambaskip_forward_parity():
         got = np.asarray(mine, dtype=np.float32)
         rel = np.abs(got - ref_np).max() / (np.abs(ref_np).max() + 1e-8)
         assert rel < 2e-3, f"output {i}: rel err {rel}"
+
+
+@pytest.mark.parametrize("forward_type", ["v0", "v2", "v3", "v2_noz"])
+def test_vmamba_ss2d_cell_parity(forward_type):
+    """Reference VMamba SS2D cell (vmamba/vmamba.py, SS2Dv0/SS2Dv2 with the
+    CUDA-backend wrappers shimmed) vs our SS2D at the same forward_type."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    import flax
+
+    from mlagg_unet_tpu.models.mamba_block import SS2D
+    from mlagg_unet_tpu.training.torch_import import (
+        _convert_reference_state_dict,
+    )
+
+    vm = rt.load_reference_vmamba()
+    torch.manual_seed(0)
+    cell = vm.SS2D(d_model=64, d_state=16, ssm_ratio=2.0,
+                   forward_type=forward_type)
+    cell.eval()
+
+    model = SS2D(d_model=64, d_state=16, expand=2.0,
+                 forward_type=forward_type)
+    x_np = np.random.RandomState(3).randn(2, 16, 12, 64).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x_np))["params"]
+    flat, _ = flax_flat(params)
+
+    converted = {tuple(k.split("/")): v for k, v in
+                 _convert_reference_state_dict(cell.state_dict(), []).items()}
+    missing = sorted(set(flat) - set(converted))
+    extra = sorted(set(converted) - set(flat))
+    assert not missing and not extra, (
+        ["flax-only: " + "/".join(k) for k in missing[:20]]
+        + ["torch-only: " + "/".join(k) for k in extra[:20]])
+    mismatched = [(k, flat[k].shape, converted[k].shape) for k in flat
+                  if tuple(flat[k].shape) != tuple(converted[k].shape)]
+    assert not mismatched, mismatched[:10]
+
+    new_params = flax.core.unfreeze(params)
+    for path, val in converted.items():
+        node = new_params
+        for p in path[:-1]:
+            node = node[p]
+        node[path[-1]] = jnp.asarray(val)
+
+    with torch.no_grad():
+        ref = cell(torch.from_numpy(x_np)).numpy()   # channels-last module
+
+    got = np.asarray(model.apply({"params": new_params},
+                                 jnp.asarray(x_np)), np.float32)
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-8)
+    assert rel < 2e-3, f"{forward_type}: rel err {rel}"
