@@ -88,8 +88,13 @@ def _shift_mask(H: int, W: int, ws: int, shift: int) -> jnp.ndarray:
         for w in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
             img_mask[:, h, w, :] = cnt
             cnt += 1
-    mask_windows = np.asarray(
-        window_partition(jnp.asarray(img_mask), ws))[:, :, 0]
+    # pure-numpy window partition: under jit, routing the static mask
+    # through jnp ops would create tracers that np.asarray cannot consume
+    mask_windows = (
+        img_mask.reshape(1, H // ws, ws, W // ws, ws, 1)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(-1, ws * ws, 1)
+    )[:, :, 0]
     attn_mask = mask_windows[:, None, :] - mask_windows[:, :, None]
     return jnp.asarray(np.where(attn_mask != 0, -100.0, 0.0))
 

@@ -77,7 +77,7 @@ def _fwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref, D_ref,
     overhead) and caps the doubling depth at log2(sub) full-data passes.
     Chunk-start states are emitted every ``state_every`` lanes so the
     backward (which uses state_every-sized chunks) can recompute h."""
-    j = pl.program_id(1)
+    j = pl.program_id(2)
 
     @pl.when(j == 0)
     def _():
@@ -97,7 +97,10 @@ def _fwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref, D_ref,
     for s in range(lc // sub):
         sl = slice(s * sub, (s + 1) * sub)
         if (s * sub) % state_every == 0:
-            h0_ref[:, (s * sub) // state_every] = h0.astype(h0_ref.dtype)
+            # stored (gb, db, n): db on the sublane axis keeps the block
+            # legal for any 8-multiple db (n == full array dim on lanes)
+            h0_ref[:, (s * sub) // state_every] = jnp.swapaxes(
+                h0, 1, 2).astype(h0_ref.dtype)
         dt_s = dt_ref[:, :, sl].astype(jnp.float32) + bias
         if softplus:
             dt_s = jax.nn.softplus(dt_s)           # (gb, d, sub)
@@ -127,8 +130,8 @@ def _bwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref, D_ref, gy_ref,
     per-row dD and dbias partial sums (dDb_scratch rows 0/1), emitted once
     per grid row as dDb_ref. ddt_ref receives the FINAL ddelta (the
     softplus/bias chain is applied in-kernel)."""
-    j = pl.program_id(1)
-    nchunks = pl.num_programs(1)
+    j = pl.program_id(2)
+    nchunks = pl.num_programs(2)
 
     u = u_ref[...].astype(jnp.float32)              # (gb, d, Lc)
     pre, dt = _load_dt(dt_ref, bias_ref, softplus)  # (gb, d, Lc)
@@ -136,7 +139,7 @@ def _bwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref, D_ref, gy_ref,
     Bm = B_ref[...].astype(jnp.float32)             # (gb, n, Lc)
     Cm = C_ref[...].astype(jnp.float32)             # (gb, n, Lc)
     gy = gy_ref[...].astype(jnp.float32)            # (gb, d, Lc)
-    h0 = h0_ref[:, 0].astype(jnp.float32)           # (gb, n, d)
+    h0 = jnp.swapaxes(h0_ref[:, 0].astype(jnp.float32), 1, 2)  # (gb, n, d)
 
     gb, d, n = A.shape[0], A.shape[1], A.shape[2]
     At = jnp.swapaxes(A, 1, 2)                      # (gb, n, d)
@@ -189,8 +192,8 @@ def _bwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref, D_ref, gy_ref,
     if softplus:
         ddt = ddt * jax.nn.sigmoid(pre)
     ddt_ref[...] = ddt.astype(ddt_ref.dtype)
-    dB_ref[...] = jnp.sum(g * s[:, None, :, :], axis=2).astype(dB_ref.dtype)
-    dC_ref[...] = jnp.sum(h * gy[:, None, :, :], axis=2).astype(dC_ref.dtype)
+    dB_ref[:, 0] = jnp.sum(g * s[:, None, :, :], axis=2).astype(dB_ref.dtype)
+    dC_ref[:, 0] = jnp.sum(h * gy[:, None, :, :], axis=2).astype(dC_ref.dtype)
     dA_scratch[:, :, :d] += jnp.sum(da * a * dt[:, None, :, :], axis=3)
     dDb_scratch[0, :, :d] += jnp.sum(gy * u, axis=2)          # dD partial
     dDb_scratch[1, :, :d] += jnp.sum(ddt, axis=2)             # dbias partial
@@ -199,32 +202,59 @@ def _bwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref, D_ref, gy_ref,
     def _():
         dA_ref[...] = jnp.swapaxes(dA_scratch[:, :, :d], 1, 2
                                    ).astype(dA_ref.dtype)
-        # (2, gb, d) -> (gb, 2, d): Mosaic requires the last two block dims
-        # to equal the array dims, so the row axis leads
-        dDb_ref[...] = jnp.swapaxes(dDb_scratch[:, :, :d], 0, 1
-                                    ).astype(dDb_ref.dtype)
+        # (2, gb, d) -> (gb, d, 2): the tiny axis of size 2 sits on lanes
+        # where it equals the full array dim (legal for any db)
+        dDb_ref[...] = jnp.transpose(dDb_scratch[:, :, :d], (1, 2, 0)
+                                     ).astype(dDb_ref.dtype)
 
 
-# VMEM budget for the doubling scan's live (gb, n, d, Lc) fp32 tensors.
-# Empirically ~4 tensors are simultaneously live after Mosaic's buffer
-# reuse; the margin below 16MB covers operand blocks + double-buffered DMA
-# (measured: 12.6MB of scan tensors + fp32 operands = 16.19MB -> OOM).
-_VMEM_BUDGET = 11 * 1024 * 1024
-_LIVE_TENSORS = 4
+# VMEM sizing: the BACKWARD kernel is the constraint — it keeps ~9
+# (gb, n, db, lc) fp32 tensors live (a/bx/cums/h/h_prev/G/m/v/g/da with
+# Mosaic's buffer reuse); 16MB VMEM minus operand blocks + DMA headroom
+# leaves ~14MB for them. The forward iterates in _FWD_SUB sub-chunks so
+# its working set is smaller at the same (db, lc).
+_VMEM_BUDGET = 14 * 1024 * 1024
+_LIVE_TENSORS = 9
 
 
-def _pick_gb(BG: int, n: int, dp: int, lc: int) -> int:
-    """Rows per grid cell: amortize fixed per-cell cost while keeping the
-    doubling-scan working set inside VMEM (~16 MB; leave headroom for
-    operands and double-buffered DMA)."""
+def _scan_bytes(gb: int, n: int, db: int, lc: int) -> int:
+    return gb * n * db * lc * 4 * _LIVE_TENSORS
+
+
+def _pick_db_lc(dp: int, n: int, lc0: int):
+    """d-block + chunk length: the recurrence is independent per channel,
+    so wide models (d_inner up to 768 in VMamba stage-3 cells) split the
+    d axis across grid cells. Prefer the largest db (fewest B/C re-reads),
+    then the largest lc (fewest grid cells)."""
+    def max_db(lc):
+        for k in range(1, dp // 8 + 1):
+            if dp % k:
+                continue
+            db = dp // k
+            if db % 8 == 0 and _scan_bytes(1, n, db, lc) <= _VMEM_BUDGET:
+                return db
+        return None
+
+    best = (8, 128)
+    lc = lc0
+    while lc >= 128:
+        db = max_db(lc)
+        if db and (db, lc) > best:
+            best = (db, lc)
+        lc //= 2
+    return best
+
+
+def _pick_gb(BG: int, n: int, db: int, lc: int) -> int:
+    """Rows per grid cell: amortize fixed per-cell overhead when the
+    working set leaves room."""
     import os
 
     forced = os.environ.get("MLAGG_SCAN_GB")
     if forced:
         return int(forced)
-    per_row = n * dp * lc * 4 * _LIVE_TENSORS
     for gb in (8, 4, 2):
-        if BG % gb == 0 and gb * per_row <= _VMEM_BUDGET:
+        if BG % gb == 0 and _scan_bytes(gb, n, db, lc) <= _VMEM_BUDGET:
             return gb
     return 1
 
@@ -237,13 +267,13 @@ def _prep_padded(u, delta, A, B, C, D, delta_bias, chunk_size):
     BG = b * g
 
     # Bigger chunks amortize per-grid-cell overhead (measured: lc=512 beats
-    # lc=128 by ~14% at MSMM shapes); shrink until the working set compiles.
+    # lc=128 by ~14% at MSMM shapes); the joint (db, lc) choice keeps the
+    # backward's working set inside VMEM.
     lc = max(128, min(chunk_size, 1024))
     lc = min(lc, max(128, L))
-    while lc > 128 and n * d * lc * 4 * _LIVE_TENSORS > _VMEM_BUDGET:
-        lc //= 2
-    pad_l = (-L) % lc
     pad_d = (-d) % 8
+    db, lc = _pick_db_lc(d + pad_d, n, lc)
+    pad_l = (-L) % lc
     if pad_l or pad_d:
         u_p = jnp.pad(u, ((0, 0), (0, 0), (0, pad_d), (0, pad_l)))
         dt_p = jnp.pad(delta, ((0, 0), (0, 0), (0, pad_d), (0, pad_l)))
@@ -254,10 +284,10 @@ def _prep_padded(u, delta, A, B, C, D, delta_bias, chunk_size):
         u_p, dt_p, B_p, C_p, A_p = u, delta, B, C, A
     dp, Lp = d + pad_d, L + pad_l
     nchunks = Lp // lc
-    gb = _pick_gb(BG, n, dp, lc)
+    gb = _pick_gb(BG, n, db, lc)
 
     shapes = dict(b=b, g=g, d=d, L=L, n=n, BG=BG, dp=dp, Lp=Lp, lc=lc,
-                  nchunks=nchunks, gb=gb)
+                  nchunks=nchunks, gb=gb, db=db)
     u_f = u_p.reshape(BG, dp, Lp)
     dt_f = dt_p.reshape(BG, dp, Lp)
     B_f = B_p.reshape(BG, n, Lp)
@@ -290,7 +320,7 @@ def _pallas_forward(u, delta, A, B, C, D, delta_bias, delta_softplus,
         u, delta, A, B, C, D, delta_bias, chunk_size)
     b, g, d, L, n = s["b"], s["g"], s["d"], s["L"], s["n"]
     BG, dp, Lp, lc = s["BG"], s["dp"], s["Lp"], s["lc"]
-    nchunks, gb = s["nchunks"], s["gb"]
+    nchunks, gb, db = s["nchunks"], s["gb"], s["db"]
 
     # forward mega-chunks: sub-chunked iteration keeps VMEM flat, so use
     # bigger grid cells than the backward's doubling chunk
@@ -301,30 +331,30 @@ def _pallas_forward(u, delta, A, B, C, D, delta_bias, delta_softplus,
     nmega = Lp // mega
     states_per_mega = mega // lc
 
-    grid = (BG // gb, nmega)
+    grid = (BG // gb, dp // db, nmega)
     y, h0_states = pl.pallas_call(
         functools.partial(_fwd_kernel, lc=mega, sub=sub, state_every=lc,
                           softplus=delta_softplus),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((gb, dp, mega), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((gb, dp, mega), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((gb, dp, 1), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((gb, dp, n), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((gb, n, mega), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((gb, n, mega), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((gb, dp, 1), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((gb, db, mega), lambda i, jd, j: (i, jd, j)),
+            pl.BlockSpec((gb, db, mega), lambda i, jd, j: (i, jd, j)),
+            pl.BlockSpec((gb, db, 1), lambda i, jd, j: (i, jd, 0)),
+            pl.BlockSpec((gb, db, n), lambda i, jd, j: (i, jd, 0)),
+            pl.BlockSpec((gb, n, mega), lambda i, jd, j: (i, 0, j)),
+            pl.BlockSpec((gb, n, mega), lambda i, jd, j: (i, 0, j)),
+            pl.BlockSpec((gb, db, 1), lambda i, jd, j: (i, jd, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((gb, dp, mega), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((gb, states_per_mega, n, dp),
-                         lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((gb, db, mega), lambda i, jd, j: (i, jd, j)),
+            pl.BlockSpec((gb, states_per_mega, db, n),
+                         lambda i, jd, j: (i, j, jd, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((BG, dp, Lp), jnp.float32),
-            jax.ShapeDtypeStruct((BG, nchunks, n, dp), jnp.float32),
+            jax.ShapeDtypeStruct((BG, nchunks, dp, n), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((gb, n, max(dp, 128)), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((gb, n, max(db, 128)), jnp.float32)],
         interpret=_interpret(),
     )(u_f, dt_f, bias_f, A_f, B_f, C_f, D_f)
 
@@ -348,38 +378,39 @@ def _pallas_backward(u, delta, A, B, C, D, delta_bias, delta_softplus,
         gy_f = jnp.pad(gy_f, ((0, 0), (0, 0), (0, dp - d), (0, Lp - L)))
     gy_f = gy_f.reshape(BG, dp, Lp)
 
-    grid = (BG // gb, nchunks)
+    db = s["db"]
+    grid = (BG // gb, dp // db, nchunks)
     rev = nchunks - 1
 
     du_c, ddt_c, dA_c, dB_c, dC_c, dDb_c = pl.pallas_call(
         functools.partial(_bwd_kernel, lc=lc, softplus=delta_softplus),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((gb, dp, lc), lambda i, j: (i, 0, rev - j)),
-            pl.BlockSpec((gb, dp, lc), lambda i, j: (i, 0, rev - j)),
-            pl.BlockSpec((gb, dp, 1), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((gb, dp, n), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((gb, n, lc), lambda i, j: (i, 0, rev - j)),
-            pl.BlockSpec((gb, n, lc), lambda i, j: (i, 0, rev - j)),
-            pl.BlockSpec((gb, dp, 1), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((gb, dp, lc), lambda i, j: (i, 0, rev - j)),
-            pl.BlockSpec((gb, 1, n, dp), lambda i, j: (i, rev - j, 0, 0)),
+            pl.BlockSpec((gb, db, lc), lambda i, jd, j: (i, jd, rev - j)),
+            pl.BlockSpec((gb, db, lc), lambda i, jd, j: (i, jd, rev - j)),
+            pl.BlockSpec((gb, db, 1), lambda i, jd, j: (i, jd, 0)),
+            pl.BlockSpec((gb, db, n), lambda i, jd, j: (i, jd, 0)),
+            pl.BlockSpec((gb, n, lc), lambda i, jd, j: (i, 0, rev - j)),
+            pl.BlockSpec((gb, n, lc), lambda i, jd, j: (i, 0, rev - j)),
+            pl.BlockSpec((gb, db, 1), lambda i, jd, j: (i, jd, 0)),
+            pl.BlockSpec((gb, db, lc), lambda i, jd, j: (i, jd, rev - j)),
+            pl.BlockSpec((gb, 1, db, n), lambda i, jd, j: (i, rev - j, jd, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((gb, dp, lc), lambda i, j: (i, 0, rev - j)),
-            pl.BlockSpec((gb, dp, lc), lambda i, j: (i, 0, rev - j)),
-            pl.BlockSpec((gb, dp, n), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((gb, n, lc), lambda i, j: (i, 0, rev - j)),
-            pl.BlockSpec((gb, n, lc), lambda i, j: (i, 0, rev - j)),
-            pl.BlockSpec((gb, 2, dp), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((gb, db, lc), lambda i, jd, j: (i, jd, rev - j)),
+            pl.BlockSpec((gb, db, lc), lambda i, jd, j: (i, jd, rev - j)),
+            pl.BlockSpec((gb, db, n), lambda i, jd, j: (i, jd, 0)),
+            pl.BlockSpec((gb, 1, n, lc), lambda i, jd, j: (i, jd, 0, rev - j)),
+            pl.BlockSpec((gb, 1, n, lc), lambda i, jd, j: (i, jd, 0, rev - j)),
+            pl.BlockSpec((gb, db, 2), lambda i, jd, j: (i, jd, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((BG, dp, Lp), jnp.float32),
             jax.ShapeDtypeStruct((BG, dp, Lp), jnp.float32),
             jax.ShapeDtypeStruct((BG, dp, n), jnp.float32),
-            jax.ShapeDtypeStruct((BG, n, Lp), jnp.float32),
-            jax.ShapeDtypeStruct((BG, n, Lp), jnp.float32),
-            jax.ShapeDtypeStruct((BG, 2, dp), jnp.float32),
+            jax.ShapeDtypeStruct((BG, dp // db, n, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((BG, dp // db, n, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((BG, dp, 2), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, gb, n, max(dp, 128)), jnp.float32),
@@ -393,11 +424,11 @@ def _pallas_backward(u, delta, A, B, C, D, delta_bias, delta_softplus,
     ddelta = ddt_c.reshape(b, g, dp, Lp)[:, :, :d, :L]
     dA_bg = dA_c.reshape(b, g, dp, n)[:, :, :d, :]
     dA = dA_bg.sum(0)                                       # (g, d, n)
-    dB = dB_c.reshape(b, g, n, Lp)[..., :L]
-    dC = dC_c.reshape(b, g, n, Lp)[..., :L]
+    dB = dB_c.sum(1).reshape(b, g, n, Lp)[..., :L]
+    dC = dC_c.sum(1).reshape(b, g, n, Lp)[..., :L]
 
-    dD_rows = dDb_c[:, 0].reshape(b, g, dp)[..., :d]
-    dbias_rows = dDb_c[:, 1].reshape(b, g, dp)[..., :d]
+    dD_rows = dDb_c[:, :, 0].reshape(b, g, dp)[..., :d]
+    dbias_rows = dDb_c[:, :, 1].reshape(b, g, dp)[..., :d]
     dD = dD_rows.sum(0) if D is not None else None          # (g, d)
     dbias = dbias_rows.sum(0) if delta_bias is not None else None
 

@@ -96,6 +96,14 @@ def memory_efficient_soft_dice_loss(
     return -dc.mean()
 
 
+def _select_class_logp(logp: jnp.ndarray, tgt: jnp.ndarray) -> jnp.ndarray:
+    """logp[..., tgt] via a one-hot contraction: gathers lower to slow
+    scalar loads on TPU (measured 8.5 ms at bs10 full-res vs ~0.2 ms for
+    the one-hot multiply-sum, which fuses into the log_softmax)."""
+    oh = jax.nn.one_hot(tgt, logp.shape[-1], dtype=logp.dtype)
+    return jnp.sum(logp * oh, axis=-1)
+
+
 def robust_cross_entropy_loss(
     logits: jnp.ndarray,
     target: jnp.ndarray,
@@ -109,9 +117,9 @@ def robust_cross_entropy_loss(
     if ignore_index is not None:
         valid = (target != ignore_index).astype(jnp.float32)
         tgt = jnp.where(target == ignore_index, 0, target)
-        nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+        nll = -_select_class_logp(logp, tgt)
         return jnp.sum(nll * valid) / jnp.clip(jnp.sum(valid), 1.0)
-    nll = -jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
+    nll = -_select_class_logp(logp, target)
     return nll.mean()
 
 
@@ -129,7 +137,7 @@ def topk_cross_entropy_loss(
     tgt = target
     if ignore_index is not None:
         tgt = jnp.where(target == ignore_index, 0, target)
-    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    nll = -_select_class_logp(logp, tgt)
     if label_smoothing > 0.0:
         smooth_nll = -logp.mean(axis=-1)
         nll = (1.0 - label_smoothing) * nll + label_smoothing * smooth_nll
