@@ -408,8 +408,14 @@ class VolumePredictor:
             n = jnp.zeros(vol_shape, jnp.float32)
             if mark_varying:
                 # under shard_map the loop carry must be varying over 'data'
-                acc = jax.lax.pvary(acc, ("data",))
-                n = jax.lax.pvary(n, ("data",))
+                # (pvary was deprecated in favor of pcast)
+                pcast = getattr(jax.lax, "pcast", None)
+                if pcast is not None:
+                    acc = pcast(acc, "data", to="varying")
+                    n = pcast(n, "data", to="varying")
+                else:
+                    acc = jax.lax.pvary(acc, ("data",))
+                    n = jax.lax.pvary(n, ("data",))
 
             def gather_one(pos):
                 if z_mode:

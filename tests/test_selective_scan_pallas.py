@@ -106,3 +106,31 @@ def test_pallas_gradients_via_xla_backward(rng):
     for a_, b_ in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_wide_d_blocking(rng):
+    """d large enough that the kernel splits the channel axis across grid
+    cells (d-blocking; VMamba stage-3 cells reach d_inner=768). Forward
+    AND gradients must agree across the per-d-block partial dB/dC path."""
+    args = make_inputs(rng, b=1, g=1, d=768, n=16, l=256)
+    y_ref = selective_scan(*args, delta_softplus=True, chunk_size=64)
+    y = selective_scan_pallas(*args, delta_softplus=True, chunk_size=512)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=3e-5, atol=3e-5)
+
+    def loss_p(u, delta, B, C):
+        return jnp.sum(jnp.sin(selective_scan_pallas(
+            u, delta, args[2], B, C, args[5], args[6],
+            delta_softplus=True, chunk_size=512)))
+
+    def loss_x(u, delta, B, C):
+        return jnp.sum(jnp.sin(selective_scan(
+            u, delta, args[2], B, C, args[5], args[6],
+            delta_softplus=True, chunk_size=64)))
+
+    a4 = (args[0], args[1], args[3], args[4])
+    gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(*a4)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2, 3))(*a4)
+    for name, a, b in zip(["du", "ddelta", "dB", "dC"], gp, gx):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-30))
+        assert rel < 1e-3, (name, rel)
