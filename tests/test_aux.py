@@ -461,3 +461,17 @@ def test_torch_checkpoint_import(tmp_path, rng):
         out_torch = tnet(torch.from_numpy(
             x.transpose(0, 3, 1, 2))).numpy()
     np.testing.assert_allclose(out_flax, out_torch, atol=2e-5)
+
+
+def test_profiling_helpers_importable():
+    """Observability subsystem (SURVEY.md §5): trace-based timing helpers
+    are part of the package and run off-TPU (empty trace -> zero totals)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mlagg_unet_tpu.utils.profiling import device_time_ms
+
+    fn = jax.jit(lambda x: (x * 2).sum())
+    ms, top = device_time_ms(fn, jnp.ones((8, 8)), iters=1)
+    assert ms >= 0.0
+    assert isinstance(top, list)
