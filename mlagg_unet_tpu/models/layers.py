@@ -11,7 +11,7 @@ left/top pad trick (PatchExpand, :527-545) carries over 1:1.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -198,28 +198,36 @@ def conv_dim_numbers(spatial_dims: int):
     raise ValueError(spatial_dims)
 
 
+def _per_axis(v, d: int) -> Tuple[int, ...]:
+    return tuple(v) if isinstance(v, (tuple, list)) else (v,) * d
+
+
 class ConvTransposeTorch(nn.Module):
     """Transposed conv with torch ConvTransposeNd(k, s, p) output arithmetic:
-    out = (in - 1) * s - 2p + k. N-D (channels-last), supports groups."""
+    out = (in - 1) * s - 2p + k per axis. N-D (channels-last), supports
+    groups and per-axis kernel/stride/padding (anisotropic plans use
+    strides like (1, 2, 2))."""
 
     features: int
-    kernel_size: int
-    stride: int
-    padding: int = 0
+    kernel_size: Union[int, Sequence[int]]
+    stride: Union[int, Sequence[int]]
+    padding: Union[int, Sequence[int]] = 0
     feature_group_count: int = 1
     use_bias: bool = True
     spatial_dims: int = 2
 
     @nn.compact
     def __call__(self, x):
-        k, s, p = self.kernel_size, self.stride, self.padding
         d = self.spatial_dims
+        ks = _per_axis(self.kernel_size, d)
+        ss = _per_axis(self.stride, d)
+        ps = _per_axis(self.padding, d)
         cin = x.shape[-1]
         assert cin % self.feature_group_count == 0
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
-            (*(k,) * d, cin // self.feature_group_count, self.features),
+            (*ks, cin // self.feature_group_count, self.features),
         )
         # fractionally-strided conv: lhs_dilation=s + padding (k-1-p) gives
         # the torch output size (in-1)*s - 2p + k; supports groups.
@@ -232,8 +240,8 @@ class ConvTransposeTorch(nn.Module):
             x,
             kern,
             window_strides=(1,) * d,
-            padding=((k - 1 - p, k - 1 - p),) * d,
-            lhs_dilation=(s,) * d,
+            padding=tuple((k - 1 - p, k - 1 - p) for k, p in zip(ks, ps)),
+            lhs_dilation=ss,
             dimension_numbers=conv_dim_numbers(d),
             feature_group_count=self.feature_group_count,
         )
@@ -247,10 +255,13 @@ class ConvTransposeTorch(nn.Module):
 ConvTranspose2dTorch = ConvTransposeTorch
 
 
-def pad_top_left(x: jnp.ndarray, amount: int = 1) -> jnp.ndarray:
+def pad_top_left(x: jnp.ndarray, amount: Union[int, Sequence[int]] = 1
+                 ) -> jnp.ndarray:
     """F.pad(x, (1, 0, 1, 0[, 1, 0])): pad the leading side of every spatial
-    dim (the reference's shape-matching asymmetry, flagship :533-536)."""
-    pads = [(0, 0)] + [(amount, 0)] * (x.ndim - 2) + [(0, 0)]
+    dim (the reference's shape-matching asymmetry, flagship :533-536).
+    Per-axis amounts support anisotropic up-blocks (0 on stride-1 axes)."""
+    amts = _per_axis(amount, x.ndim - 2)
+    pads = [(0, 0)] + [(a, 0) for a in amts] + [(0, 0)]
     return jnp.pad(x, pads)
 
 

@@ -11,7 +11,7 @@ residual; Up pads top/left by 1 to fix the transposed-conv shape asymmetry.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -67,14 +67,14 @@ class MedNeXtBlock(nn.Module):
 
 class MedNeXtDownBlock(nn.Module):
     """flagship :327-366: stride-s depthwise conv1; optional strided 1x1
-    residual."""
+    residual. stride may be per-axis (anisotropic plans, e.g. (1, 2, 2))."""
 
     out_channels: int
     exp_r: int = 4
     kernel_size: int = 3
     do_res: bool = True
     grn: bool = False
-    stride: int = 2
+    stride: Union[int, Sequence[int]] = 2
     spatial_dims: int = 2
 
     @nn.compact
@@ -82,7 +82,8 @@ class MedNeXtDownBlock(nn.Module):
         cin = x.shape[-1]
         d = self.spatial_dims
         k = (self.kernel_size,) * d
-        s = (self.stride,) * d
+        s = (tuple(self.stride) if isinstance(self.stride, (tuple, list))
+             else (self.stride,) * d)
         x1 = nn.Conv(cin, k, strides=s, padding=self.kernel_size // 2,
                      feature_group_count=cin, name="conv1")(x)
         x1 = ChannelGroupNorm(name="norm")(x1)
@@ -99,22 +100,34 @@ class MedNeXtDownBlock(nn.Module):
 
 class MedNeXtUpBlock(nn.Module):
     """flagship :369-419: stride-2 transposed depthwise conv1 + top/left pad;
-    optional transposed 1x1 residual."""
+    optional transposed 1x1 residual. Per-axis strides follow the
+    reference's anisotropic handling (blocks_new.py:158-212): stride-1
+    axes get kernel 1 on conv1 and no asymmetric pad."""
 
     out_channels: int
     exp_r: int = 4
     kernel_size: int = 3
     do_res: bool = True
     grn: bool = False
-    stride: int = 2
+    stride: Union[int, Sequence[int]] = 2
     spatial_dims: int = 2
 
     @nn.compact
     def __call__(self, x):
         cin = x.shape[-1]
         d = self.spatial_dims
+        s = (tuple(self.stride) if isinstance(self.stride, (tuple, list))
+             else (self.stride,) * d)
+        aniso = any(si == 1 for si in s)
+        if aniso:
+            ks = tuple(1 if si == 1 else self.kernel_size for si in s)
+            ps = tuple(k // 2 for k in ks)
+        else:
+            ks = self.kernel_size
+            ps = self.kernel_size // 2
+        pad_amts = tuple(1 if si != 1 else 0 for si in s)
         x1 = ConvTransposeTorch(
-            cin, self.kernel_size, self.stride, self.kernel_size // 2,
+            cin, ks, s, ps,
             feature_group_count=cin, spatial_dims=d, name="conv1",
         )(x)
         x1 = ChannelGroupNorm(name="norm")(x1)
@@ -122,11 +135,11 @@ class MedNeXtUpBlock(nn.Module):
         if self.grn:
             x1 = _apply_grn(self, x1, d)
         x1 = nn.Conv(self.out_channels, (1,) * d, name="conv3")(x1)
-        x1 = pad_top_left(x1)
+        x1 = pad_top_left(x1, pad_amts)
         if self.do_res:
-            res = ConvTransposeTorch(self.out_channels, 1, self.stride, 0,
+            res = ConvTransposeTorch(self.out_channels, 1, s, 0,
                                      spatial_dims=d, name="res_conv")(x)
-            res = pad_top_left(res)
+            res = pad_top_left(res, pad_amts)
             x1 = x1 + res
         return x1
 

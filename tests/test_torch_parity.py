@@ -296,3 +296,67 @@ def test_vmamba_ss2d_cell_parity(forward_type):
                                  jnp.asarray(x_np)), np.float32)
     rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-8)
     assert rel < 2e-3, f"{forward_type}: rel err {rel}"
+
+
+@pytest.mark.parametrize("stride", [(1, 2, 2), (2, 2, 2), (1, 1, 2)])
+def test_mednext_aniso_up_down_parity(stride):
+    """Reference MedNeXt Up/Down blocks with per-axis (anisotropic) strides
+    (blocks_new.py:108-212) vs our blocks — the 3d_lowres/aniso-plan path."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    import flax
+
+    from mlagg_unet_tpu.models.mednext import MedNeXtDownBlock, MedNeXtUpBlock
+    from mlagg_unet_tpu.training.torch_import import (
+        convert_reference_mednext_state_dict,
+    )
+
+    blocks = rt.load_reference_mednext()  # exposes blocks via the net module
+    import sys as _sys
+    bmod = _sys.modules[
+        "nnunetv2.network_architecture.mednextv1.blocks_new"]
+
+    torch.manual_seed(0)
+    x_np = np.random.RandomState(4).randn(1, 6, 8, 10, 12).astype(np.float32)
+    # NCDHW for torch, NDHWC for flax
+    x_t = torch.from_numpy(x_np)
+    x_f = jnp.asarray(np.transpose(x_np, (0, 2, 3, 4, 1)))
+
+    for ref_cls, my_cls, kwargs in [
+        (bmod.MedNeXtDownBlock, MedNeXtDownBlock, {}),
+        (bmod.MedNeXtUpBlock, MedNeXtUpBlock, {}),
+    ]:
+        ref = ref_cls(in_channels=6, out_channels=12, exp_r=2,
+                      kernel_size=3, do_res=True, norm_type="group",
+                      dim="3d", grn=False, stride=list(stride))
+        ref.eval()
+        mine = my_cls(out_channels=12, exp_r=2, kernel_size=3, do_res=True,
+                      stride=stride, spatial_dims=3)
+        params = mine.init(jax.random.PRNGKey(0), x_f)["params"]
+        # synthetic prefixes make the standalone block keys look like their
+        # in-net forms so the converter's rules (norm wrapping, transposed
+        # layout for up_*) apply; stripped again below
+        prefix = "up_0." if ref_cls is bmod.MedNeXtUpBlock else "down_0."
+        conv = convert_reference_mednext_state_dict({
+            prefix + k: v for k, v in ref.state_dict().items()})
+        conv = {k.split("/", 1)[1]: v for k, v in conv.items()}
+        new_params = flax.core.unfreeze(params)
+        flat, _ = flax_flat(params)
+        for key, val in conv.items():
+            path = tuple(key.split("/"))
+            assert path in flat, f"unmapped {path}"
+            assert tuple(flat[path].shape) == tuple(val.shape), (
+                path, flat[path].shape, val.shape)
+            node = new_params
+            for p in path[:-1]:
+                node = node[p]
+            node[path[-1]] = jnp.asarray(val)
+
+        with torch.no_grad():
+            y_ref = ref(x_t).numpy()
+        y_ref = np.transpose(y_ref, (0, 2, 3, 4, 1))
+        y = np.asarray(mine.apply({"params": new_params}, x_f), np.float32)
+        assert y.shape == y_ref.shape, (stride, y.shape, y_ref.shape)
+        rel = np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-8)
+        assert rel < 2e-3, (ref_cls.__name__, stride, rel)
