@@ -52,7 +52,6 @@ class MedNeXtBlock(nn.Module):
     def __call__(self, x):
         cin = x.shape[-1]
         d = self.spatial_dims
-        k = (self.kernel_size,) * d
         x1 = DepthwiseConv(kernel_size=self.kernel_size, spatial_dims=d,
                            name="conv1")(x)
         x1 = ChannelGroupNorm(name="norm")(x1)

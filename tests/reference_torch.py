@@ -182,10 +182,6 @@ def _install_shims():
     triton.jit = _FakeJit()
     tl = types.ModuleType("triton.language")
 
-    class _AnyAttr:
-        def __getattr__(self, name):
-            return object
-
     tl.constexpr = object
     triton.language = tl
     sys.modules["triton"] = triton
