@@ -309,6 +309,154 @@ def export_model_entry(args=None):
                             tuple(a.chk))
 
 
+def predict_from_modelfolder_entry(args=None):
+    """reference predict_from_raw_data.py:354 — predict with an explicit
+    model folder instead of nnUNet_results lookup."""
+    p = argparse.ArgumentParser("mlaggtpu_predict_from_modelfolder")
+    p.add_argument("-i", required=True)
+    p.add_argument("-o", required=True)
+    p.add_argument("-m", required=True, help="trained model folder "
+                   "(contains fold_X subfolders)")
+    p.add_argument("-f", nargs="+", default=None)
+    p.add_argument("-chk", default="checkpoint_final.ckpt")
+    p.add_argument("-step_size", type=float, default=0.5)
+    p.add_argument("--disable_tta", action="store_true")
+    p.add_argument("--save_probabilities", action="store_true")
+    p.add_argument("--continue_prediction", "--c", action="store_true",
+                   dest="continue_prediction")
+    p.add_argument("-num_parts", type=int, default=1)
+    p.add_argument("-part_id", type=int, default=0)
+    p.add_argument("-prev_stage_predictions", default=None)
+    a = p.parse_args(args)
+
+    from mlagg_unet_tpu.inference.predictor import NNUNetPredictor
+
+    predictor = NNUNetPredictor(tile_step_size=a.step_size,
+                                use_mirroring=not a.disable_tta)
+    predictor.initialize_from_trained_model_folder(
+        a.m, a.f, checkpoint_name=a.chk)
+    predictor.predict_from_files(
+        a.i, a.o, save_probabilities=a.save_probabilities,
+        overwrite=not a.continue_prediction,
+        num_parts=a.num_parts, part_id=a.part_id,
+        folder_with_segs_from_prev_stage=a.prev_stage_predictions,
+    )
+
+
+def determine_postprocessing_entry(args=None):
+    """reference remove_connected_components.py:298 — writes
+    postprocessing.pkl/json into the input folder."""
+    p = argparse.ArgumentParser("mlaggtpu_determine_postprocessing")
+    p.add_argument("-i", required=True, help="folder with predictions")
+    p.add_argument("-ref", required=True, help="folder with gt labels")
+    p.add_argument("-plans_json", default=None)
+    p.add_argument("-dataset_json", default=None)
+    p.add_argument("-np", type=int, default=8)
+    p.add_argument("--remove_postprocessed", action="store_true")
+    a = p.parse_args(args)
+    from mlagg_unet_tpu.postprocessing.remove_connected_components import (
+        determine_postprocessing,
+    )
+
+    plans = a.plans_json or join(a.i, "plans.json")
+    dsj = a.dataset_json or join(a.i, "dataset.json")
+    determine_postprocessing(a.i, a.ref, plans, dsj, num_processes=a.np,
+                             keep_postprocessed_files=not
+                             a.remove_postprocessed)
+
+
+def evaluate_simple_entry(args=None):
+    """reference evaluate_predictions.py:235 — evaluate without plans/
+    dataset json, labels given explicitly."""
+    p = argparse.ArgumentParser("mlaggtpu_evaluate_simple")
+    p.add_argument("gt_folder")
+    p.add_argument("pred_folder")
+    p.add_argument("-l", type=int, nargs="+", required=True)
+    p.add_argument("-il", type=int, default=None, help="ignore label")
+    p.add_argument("-o", default=None)
+    p.add_argument("-np", type=int, default=8)
+    a = p.parse_args(args)
+    from mlagg_unet_tpu.evaluation.metrics import (
+        compute_metrics_on_folder_simple,
+    )
+
+    out = a.o or join(a.pred_folder, "summary.json")
+    result = compute_metrics_on_folder_simple(
+        a.gt_folder, a.pred_folder, a.l, output_file=out,
+        num_processes=a.np, ignore_label=a.il)
+    print("mean foreground Dice:", result["foreground_mean"]["Dice"])
+
+
+def move_plans_between_datasets_entry(args=None):
+    """reference move_plans_between_datasets.py:58."""
+    p = argparse.ArgumentParser("mlaggtpu_move_plans_between_datasets")
+    p.add_argument("-s", required=True, help="source dataset name or id")
+    p.add_argument("-t", required=True, help="target dataset name or id")
+    p.add_argument("-sp", required=True, help="source plans identifier")
+    p.add_argument("-tp", default=None, help="target plans identifier")
+    a = p.parse_args(args)
+    from mlagg_unet_tpu.plans.move_plans import move_plans_between_datasets
+
+    out = move_plans_between_datasets(a.s, a.t, a.sp, a.tp)
+    print("wrote", out)
+
+
+def plot_overlay_pngs_entry(args=None):
+    """reference overlay_plots.py:242."""
+    p = argparse.ArgumentParser("mlaggtpu_plot_overlay_pngs")
+    p.add_argument("-d", required=True, help="dataset name or id")
+    p.add_argument("-o", required=True, help="output folder")
+    p.add_argument("-np", type=int, default=8)
+    a = p.parse_args(args)
+    from mlagg_unet_tpu.utils.overlay_plots import (
+        generate_overlays_for_dataset,
+    )
+
+    generate_overlays_for_dataset(a.d, a.o, num_processes=a.np)
+
+
+def download_model_entry(args=None):
+    """reference model_sharing/entry_points.py download_by_url."""
+    p = argparse.ArgumentParser("mlaggtpu_download_pretrained_model_by_url")
+    p.add_argument("url")
+    a = p.parse_args(args)
+    from mlagg_unet_tpu.postprocessing.model_sharing import (
+        download_and_install_pretrained_model,
+    )
+
+    download_and_install_pretrained_model(a.url)
+
+
+def convert_old_nnunet_dataset_entry(args=None):
+    """reference convert_raw_dataset_from_old_nnunet_format.py:43."""
+    p = argparse.ArgumentParser("mlaggtpu_convert_old_nnUNet_dataset")
+    p.add_argument("input_folder", help="old TaskXXX_NAME folder path")
+    p.add_argument("output_dataset_name", help="DatasetXXX_NAME (name, "
+                   "not path)")
+    a = p.parse_args(args)
+    from mlagg_unet_tpu.dataset_conversion.converters import (
+        convert_old_nnunet_dataset,
+    )
+
+    out = convert_old_nnunet_dataset(a.input_folder, a.output_dataset_name)
+    print("wrote", out)
+
+
+def convert_msd_dataset_entry(args=None):
+    """reference convert_MSD_dataset.py:117."""
+    p = argparse.ArgumentParser("mlaggtpu_convert_MSD_dataset")
+    p.add_argument("-i", required=True, help="extracted MSD task folder")
+    p.add_argument("-overwrite_id", type=int, default=None)
+    p.add_argument("-np", type=int, default=8)
+    a = p.parse_args(args)
+    from mlagg_unet_tpu.dataset_conversion.converters import (
+        convert_msd_dataset,
+    )
+
+    out = convert_msd_dataset(a.i, a.overwrite_id)
+    print("wrote", out)
+
+
 def install_model_entry(args=None):
     p = argparse.ArgumentParser("mlaggtpu_install_pretrained_model_from_zip")
     p.add_argument("zip_file")
@@ -327,13 +475,21 @@ _VERBS = {
     "preprocess": preprocess_entry,
     "train": train_entry,
     "predict": predict_entry,
+    "predict_from_modelfolder": predict_from_modelfolder_entry,
     "evaluate_folder": evaluate_folder_entry,
+    "evaluate_simple": evaluate_simple_entry,
     "ensemble": ensemble_entry,
+    "determine_postprocessing": determine_postprocessing_entry,
     "apply_postprocessing": apply_postprocessing_entry,
     "find_best_configuration": find_best_configuration_entry,
     "accumulate_crossval_results": accumulate_crossval_results_entry,
+    "move_plans_between_datasets": move_plans_between_datasets_entry,
+    "plot_overlay_pngs": plot_overlay_pngs_entry,
     "export_model": export_model_entry,
     "install_model": install_model_entry,
+    "download_pretrained_model_by_url": download_model_entry,
+    "convert_old_nnUNet_dataset": convert_old_nnunet_dataset_entry,
+    "convert_MSD_dataset": convert_msd_dataset_entry,
 }
 
 

@@ -29,10 +29,20 @@ from mlagg_unet_tpu.utils.helpers import (
 )
 
 
-def convert_msd_dataset(source_folder: str, output_dataset_id: int,
+def convert_msd_dataset(source_folder: str,
+                        output_dataset_id: Optional[int] = None,
                         overwrite_name: Optional[str] = None) -> str:
     """Medical Segmentation Decathlon folder (imagesTr/labelsTr/dataset.json
-    in MSD schema) -> framework format (reference convert_MSD_dataset.py)."""
+    in MSD schema) -> framework format (reference convert_MSD_dataset.py).
+    When output_dataset_id is None it is inferred from the TaskXX_Name
+    source folder name (reference :96-103)."""
+    if output_dataset_id is None:
+        base = os.path.basename(source_folder.rstrip("/"))
+        if not base.startswith("Task"):
+            raise ValueError(
+                f"Cannot infer dataset id from folder name {base!r}; pass "
+                "output_dataset_id / -overwrite_id")
+        output_dataset_id = int(base[4:].split("_")[0])
     msd_json = load_json(join(source_folder, "dataset.json"))
     task_name = overwrite_name or msd_json["name"].replace(" ", "")
     dataset_name = f"Dataset{output_dataset_id:03d}_{task_name}"
@@ -551,4 +561,34 @@ def convert_fluo_c3dh(train_source: str, test_source: Optional[str] = None,
                           {"background": 0, "cell": 1}, n, ".tif",
                           dataset_name=dataset_name,
                           overwrite_image_reader_writer="Tiff3DIO")
+    return out
+
+
+def convert_old_nnunet_dataset(source_folder: str,
+                               target_dataset_name: str) -> str:
+    """Convert an nnU-Net v1 raw Task folder (TaskXXX_YYY) into the v2
+    DatasetXXX_YYY layout (reference dataset_conversion/
+    convert_raw_dataset_from_old_nnunet_format.py:8-40): copy the image/
+    label trees, then rewrite dataset.json — drop the v1-only keys
+    (tensorImageSize, numTest, training, test), rename modality ->
+    channel_names, and invert the labels dict from {name: id} to
+    {id: name}-free v2 form {name: int(id)} with file_ending .nii.gz."""
+    out = join(paths.nnUNet_raw, target_dataset_name)
+    if isdir(out):
+        raise RuntimeError(
+            f"Target dataset {out} already exists; delete it manually first")
+    maybe_mkdir_p(out)
+    for sub in ("imagesTr", "labelsTr", "imagesTs", "labelsTs",
+                "imagesVal", "labelsVal"):
+        src = join(source_folder, sub)
+        if isdir(src):
+            shutil.copytree(src, join(out, sub))
+    dsj = load_json(join(source_folder, "dataset.json"))
+    for key in ("tensorImageSize", "numTest", "training", "test"):
+        dsj.pop(key, None)
+    if "modality" in dsj:
+        dsj["channel_names"] = dsj.pop("modality")
+    dsj["labels"] = {name: int(i) for i, name in dsj["labels"].items()}
+    dsj["file_ending"] = ".nii.gz"
+    save_json(dsj, join(out, "dataset.json"), sort_keys=False)
     return out

@@ -175,8 +175,42 @@ class NiftiIO(BaseReaderWriter):
 
 
 class SimpleITKIO(NiftiIO):
-    """Name-compatible alias so reference-generated plans.json files
-    ('image_reader_writer': 'SimpleITKIO') resolve."""
+    """Name-compatible with the reference SimpleITKIO
+    (simpleitk_reader_writer.py:23-27: .nii.gz + .nrrd + .mha) so
+    reference-generated plans.json files resolve AND keep their format
+    breadth: dispatches per file extension to the pure-NumPy NIfTI,
+    MetaImage, or NRRD codec."""
+
+    supported_file_endings = [".nii", ".nii.gz", ".mha", ".mhd", ".nrrd"]
+
+    @staticmethod
+    def _delegate(fname: str):
+        low = fname.lower()
+        if low.endswith((".mha", ".mhd")):
+            from mlagg_unet_tpu.imageio.metaimage_io import MetaImageIO
+
+            return MetaImageIO()
+        if low.endswith(".nrrd"):
+            from mlagg_unet_tpu.imageio.nrrd_io import NrrdIO
+
+            return NrrdIO()
+        return None
+
+    def read_images(self, image_fnames) -> Tuple[np.ndarray, dict]:
+        d = self._delegate(image_fnames[0])
+        if d is not None:
+            return d.read_images(image_fnames)
+        return super().read_images(image_fnames)
+
+    def read_seg(self, seg_fname: str) -> Tuple[np.ndarray, dict]:
+        return self.read_images([seg_fname])
+
+    def write_seg(self, seg: np.ndarray, output_fname: str, properties: dict
+                  ) -> None:
+        d = self._delegate(output_fname)
+        if d is not None:
+            return d.write_seg(seg, output_fname, properties)
+        return super().write_seg(seg, output_fname, properties)
 
 
 class NibabelIO(NiftiIO):

@@ -17,6 +17,8 @@ from mlagg_unet_tpu.imageio.nifti_io import (
     NiftiIO,
     SimpleITKIO,
 )
+from mlagg_unet_tpu.imageio.metaimage_io import MetaImageIO
+from mlagg_unet_tpu.imageio.nrrd_io import NrrdIO
 from mlagg_unet_tpu.imageio.numpy_io import NumpyIO
 from mlagg_unet_tpu.imageio.tiff_io import Tiff3DIO
 
@@ -24,7 +26,8 @@ from mlagg_unet_tpu.imageio.tiff_io import Tiff3DIO
 # (the reference's main tif use-case, Dataset073); 2D tif datasets select
 # NaturalImage2DIO via overwrite_image_reader_writer in dataset.json.
 LIST_OF_IO_CLASSES = [NiftiIO, SimpleITKIO, NibabelIO, NibabelIOWithReorient,
-                      Tiff3DIO, NaturalImage2DIO, NumpyIO]
+                      MetaImageIO, NrrdIO, Tiff3DIO, NaturalImage2DIO,
+                      NumpyIO]
 
 _BY_NAME = {cls.__name__: cls for cls in LIST_OF_IO_CLASSES}
 

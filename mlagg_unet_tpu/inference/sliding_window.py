@@ -381,7 +381,7 @@ class VolumePredictor:
         # multi-chip: shard tile positions over the mesh 'data' axis; each
         # device accumulates its tiles locally, one psum merges
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         def sharded(volume, positions, valid, gaussian):
             acc = run(volume, positions, valid, gaussian,

@@ -106,11 +106,18 @@ class SS2D(nn.Module):
     def _parse_forward_type(self):
         ft = self.forward_type
         flags = {}
-        for tag in ("_no32", "_noz", "_nozact", "_onnone", "_onsoftmax",
-                    "_onsigmoid", "_ondwconv3"):
-            if ft.endswith(tag):
-                flags[tag] = True
-                ft = ft[: -len(tag)]
+        tags = ("_no32", "_noz", "_nozact", "_onnone", "_onsoftmax",
+                "_onsigmoid", "_ondwconv3")
+        # strip until fixpoint: combined strings like "v05_noz_onsoftmax"
+        # carry multiple tags in arbitrary order
+        stripped = True
+        while stripped:
+            stripped = False
+            for tag in tags:
+                if ft.endswith(tag):
+                    flags[tag] = True
+                    ft = ft[: -len(tag)]
+                    stripped = True
         force_fp32 = (ft not in ("v04", "v05", "v3", "v051d", "v052d",
                                  "v31d", "v32d")
                       and not flags.get("_no32"))

@@ -252,7 +252,11 @@ def _pick_gb(BG: int, n: int, db: int, lc: int) -> int:
 
     forced = os.environ.get("MLAGG_SCAN_GB")
     if forced:
-        return int(forced)
+        gbf = int(forced)
+        if gbf > 0 and BG % gbf == 0:
+            return gbf
+        # a non-dividing override would truncate the grid and leave the
+        # last BG % gbf rows unwritten — ignore it and pick automatically
     for gb in (8, 4, 2):
         if BG % gb == 0 and _scan_bytes(gb, n, db, lc) <= _VMEM_BUDGET:
             return gb
@@ -271,6 +275,12 @@ def _prep_padded(u, delta, A, B, C, D, delta_bias, chunk_size):
     # backward's working set inside VMEM.
     lc = max(128, min(chunk_size, 1024))
     lc = min(lc, max(128, L))
+    # lc MUST be a power of two: the forward iterates its mega-chunk in
+    # _FWD_SUB-lane sub-chunks and emits backward-restart states every lc
+    # lanes — both alignments are exact only when sub | lc | mega, which a
+    # power-of-two lc guarantees (non-power lc, e.g. L=320 -> lc=320, left
+    # the final mega tail lanes unwritten).
+    lc = 1 << (lc.bit_length() - 1)
     pad_d = (-d) % 8
     db, lc = _pick_db_lc(d + pad_d, n, lc)
     pad_l = (-L) % lc
@@ -330,6 +340,10 @@ def _pallas_forward(u, delta, A, B, C, D, delta_bias, delta_softplus,
         mega //= 2
     nmega = Lp // mega
     states_per_mega = mega // lc
+    # alignment invariants: every lane is covered by exactly one sub-chunk
+    # and every state-emission point is a sub-chunk start
+    assert mega % sub == 0 and lc % sub == 0 and mega % lc == 0, (
+        f"scan chunking misaligned: mega={mega} lc={lc} sub={sub}")
 
     grid = (BG // gb, dp // db, nmega)
     y, h0_states = pl.pallas_call(

@@ -52,7 +52,7 @@ def adan(
             m = (1 - b1) * m + b1 * g
             v = (1 - b2) * v + b2 * diff
             n = (1 - b3) * n + b3 * (g + (1 - b2) * diff) ** 2
-            step = lr * (m + (1 - b2) * v) / (jnp.sqrt(n) + eps)
+            step = lr * (m + (1 - b2) * v) / jnp.sqrt(n + eps)
             new_p = (p - step) / (1 + lr * weight_decay)
             return new_p - p, m, v, n
 

@@ -700,6 +700,20 @@ class NNUNetTrainerTPU:
                         train_losses.append(loss)
                 jax.block_until_ready(train_losses[-1])
                 tr_loss = float(np.mean([float(l) for l in train_losses]))
+                if not np.isfinite(tr_loss):
+                    # divergence guard (reference ships check_nan_inf,
+                    # csms6s.py:128-133). Checked on the epoch mean — the
+                    # losses are already on host here, so this adds no
+                    # device syncs to the step loop.
+                    bad = [i for i, l in enumerate(train_losses)
+                           if not np.isfinite(float(l))]
+                    raise RuntimeError(
+                        f"Non-finite training loss in epoch {epoch} "
+                        f"(first bad iteration {bad[0] if bad else '?'} of "
+                        f"{len(train_losses)}). Checkpoints up to the "
+                        f"previous epoch are intact in "
+                        f"{self.output_folder}; resume with --c after "
+                        f"lowering the learning rate or inspecting data.")
                 self.logger.log("train_losses", tr_loss, epoch)
 
                 val_losses, tps, fps, fns = [], [], [], []

@@ -108,6 +108,45 @@ def test_pallas_gradients_via_xla_backward(rng):
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("l", [320, 331])
+def test_pallas_nonpow2_L_in_chunk_range(rng, l):
+    """L in (256, 512) used to become a non-power-of-two lc (e.g. L=320
+    from a 20x20x... map), whose mega-chunk was NOT a multiple of the
+    256-lane forward sub-chunk: lanes >= 256 were never written. lc is
+    now forced to a power of two; forward and backward must both match."""
+    args = make_inputs(rng, b=1, g=2, d=8, n=4, l=l)
+    y_ref = selective_scan_seq_ref(*args, delta_softplus=True)
+    y = selective_scan_pallas(*args, delta_softplus=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss_p(u, delta, B, C):
+        return (selective_scan_pallas(u, delta, args[2], B, C, args[5],
+                                      args[6], delta_softplus=True) ** 2).sum()
+
+    def loss_x(u, delta, B, C):
+        return (selective_scan_seq_ref(u, delta, args[2], B, C, args[5],
+                                       args[6], delta_softplus=True) ** 2).sum()
+
+    a4 = (args[0], args[1], args[3], args[4])
+    gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(*a4)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2, 3))(*a4)
+    for name, a_, b_ in zip(["du", "ddelta", "dB", "dC"], gp, gx):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_scan_gb_env_override_validated(rng, monkeypatch):
+    """A forced MLAGG_SCAN_GB that does not divide b*g must be ignored,
+    not truncate the grid (which silently left rows unwritten)."""
+    monkeypatch.setenv("MLAGG_SCAN_GB", "4")
+    args = make_inputs(rng, b=3, g=2, d=8, n=4, l=64)  # BG=6, 6 % 4 != 0
+    y_ref = selective_scan_seq_ref(*args, delta_softplus=True)
+    y = selective_scan_pallas(*args, delta_softplus=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_pallas_wide_d_blocking(rng):
     """d large enough that the kernel splits the channel axis across grid
     cells (d-blocking; VMamba stage-3 cells reach d_inner=768). Forward
