@@ -270,6 +270,9 @@ class PrefetchLoader:
         self.num_batches_per_epoch = num_batches_per_epoch
         self._queue: "queue.Queue" = queue.Queue(maxsize=queue_size)
         self._stop = threading.Event()
+        # worker exceptions land here (never silently dropped, even when
+        # the queue is full); get_batch re-raises them
+        self._errors: list = []
         self._workers = []
         for w in range(max(1, num_workers)):
             loader = make_loader(w)
@@ -282,10 +285,7 @@ class PrefetchLoader:
             try:
                 batch = loader.generate_train_batch()
             except BaseException as e:  # propagate to the consumer
-                try:
-                    self._queue.put(e, timeout=5)
-                except queue.Full:
-                    pass
+                self._errors.append(e)
                 return
             while not self._stop.is_set():
                 try:
@@ -299,11 +299,22 @@ class PrefetchLoader:
             yield self.get_batch()
 
     def get_batch(self):
-        item = self._queue.get()
-        if isinstance(item, BaseException):
-            self.stop()
-            raise RuntimeError("data loader worker failed") from item
-        return item
+        while True:
+            # drain already-produced batches before surfacing errors so a
+            # failing worker doesn't discard its queued good batches
+            try:
+                return self._queue.get_nowait()
+            except queue.Empty:
+                pass
+            if self._errors:
+                self.stop()
+                raise RuntimeError("data loader worker failed") \
+                    from self._errors[0]
+            try:
+                return self._queue.get(timeout=1.0)
+            except queue.Empty:
+                if not any(t.is_alive() for t in self._workers):
+                    raise RuntimeError("all data loader workers exited")
 
     def stop(self):
         self._stop.set()

@@ -281,10 +281,12 @@ class NNUNetPredictor:
         rw = self.plans_manager.image_reader_writer_class()
         preprocessor = DefaultPreprocessor(verbose=self.verbose)
 
-        for image_files, out_trunc, ident in zip(lists, out_truncated,
-                                                 identifiers):
-            if not overwrite and isfile(out_trunc + file_ending):
-                continue
+        def _load_and_preprocess(image_files, ident):
+            """IO + preprocessing for one case (background worker).
+            Mirrors the reference's background preprocessing
+            (predict_from_raw_data.py:211-214); with host threads instead
+            of spawn workers there is no pickling, so the reference's
+            >2GB npy-spill workaround (:329-334) is unnecessary."""
             data, props = rw.read_images(image_files)
             seg_prev = None
             if prev_stage_name is not None:
@@ -297,7 +299,7 @@ class NNUNetPredictor:
                 self.configuration_manager, self.dataset_json,
             )
             if seg_prev is not None:
-                # resample prev seg to the preprocessed grid and stack one-hot
+                # resample prev seg to the preprocessed grid, stack one-hot
                 prev_r = self.configuration_manager.resampling_fn_seg(
                     seg_prev[None].astype(np.int8), pdata.shape[1:],
                     props["spacing"], self.configuration_manager.spacing,
@@ -305,10 +307,51 @@ class NNUNetPredictor:
                 onehot = convert_labelmap_to_one_hot(
                     prev_r, self.label_manager.foreground_labels, pdata.dtype)
                 pdata = np.vstack([pdata, onehot])
-            logits = self.predict_logits_from_preprocessed_data(pdata)
-            export_prediction_from_logits(
-                logits, pprops, self.configuration_manager,
-                self.plans_manager, self.dataset_json, out_trunc,
-                save_probabilities,
-            )
+            return pdata, pprops
+
+        # Pipeline: preprocessing of case k+1..k+depth and export of finished
+        # cases overlap the device predicting case k (reference
+        # predict_from_raw_data.py:211-254, incl. the export busy-throttle
+        # :231-254 that bounds pending exports).
+        from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+
+        todo = [(f, o, i) for f, o, i in zip(lists, out_truncated,
+                                            identifiers)
+                if overwrite or not isfile(o + file_ending)]
+        n_pre = max(1, int(os.environ.get("MLAGG_PREPROCESS_WORKERS", "3")))
+        n_exp = max(1, int(os.environ.get("MLAGG_EXPORT_WORKERS", "3")))
+        from collections import deque
+
+        with ThreadPoolExecutor(n_pre) as pre_pool, \
+                ThreadPoolExecutor(n_exp) as exp_pool:
+            # bounded prefetch: at most n_pre+1 preprocessed volumes in
+            # flight so large datasets don't pile up in host memory
+            pending = deque()
+            next_i = 0
+            while next_i < len(todo) and len(pending) <= n_pre:
+                f, o, i = todo[next_i]
+                pending.append((pre_pool.submit(_load_and_preprocess, f, i),
+                                o))
+                next_i += 1
+            export_futs = []
+            while pending:
+                fut, out_trunc = pending.popleft()
+                pdata, pprops = fut.result()
+                if next_i < len(todo):
+                    f, o, i = todo[next_i]
+                    pending.append(
+                        (pre_pool.submit(_load_and_preprocess, f, i), o))
+                    next_i += 1
+                logits = self.predict_logits_from_preprocessed_data(pdata)
+                export_futs.append(exp_pool.submit(
+                    export_prediction_from_logits,
+                    logits, pprops, self.configuration_manager,
+                    self.plans_manager, self.dataset_json, out_trunc,
+                    save_probabilities,
+                ))
+                # busy-throttle: keep at most 2*n_exp exports in flight
+                while sum(not f.done() for f in export_futs) >= 2 * n_exp:
+                    wait(export_futs, return_when=FIRST_COMPLETED)
+            for f in export_futs:
+                f.result()  # propagate worker exceptions
         return output_folder

@@ -75,8 +75,13 @@ class TransposedConvND(nn.Module):
             "kernel", nn.initializers.lecun_normal(),
             (*self.strides, cin, self.features),
         )
+        # torch ConvTranspose correlates with the spatially FLIPPED kernel
+        # (adjoint of a forward conv) — flip so layout-converted torch
+        # weights bit-match (same as layers.ConvTransposeND).
+        kern = kernel.astype(x.dtype)
+        kern = kern[tuple(slice(None, None, -1) for _ in range(dim))]
         y = jax.lax.conv_general_dilated(
-            x, kernel.astype(x.dtype),
+            x, kern,
             window_strides=(1,) * dim,
             padding=[(s - 1, s - 1) for s in self.strides],
             lhs_dilation=tuple(self.strides),
@@ -92,6 +97,78 @@ def _dim_numbers(dim: int):
     if dim == 3:
         return ("NDHWC", "DHWIO", "NDHWC")
     raise ValueError(dim)
+
+
+class ConvNorm(nn.Module):
+    """conv -> norm, no activation (second half of a residual basic block)."""
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int]
+    norm: str = "instance"
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = [(k // 2, k // 2) for k in self.kernel_size]
+        x = nn.Conv(self.features, tuple(self.kernel_size),
+                    strides=tuple(self.strides), padding=pad,
+                    use_bias=self.use_bias, name="conv")(x)
+        if self.norm == "batch":
+            x = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
+                             momentum=0.9, name="norm")(x)
+        else:
+            x = InstanceNorm(name="norm")(x)
+        return x
+
+
+class BasicBlockD(nn.Module):
+    """nnU-Net residual basic block (dynamic_network_architectures
+    building_blocks/residual.py BasicBlockD): conv-norm-act -> conv-norm,
+    1x1-conv+norm skip when stride/channels change, activation after the
+    add."""
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int]
+    norm: str = "instance"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cin = x.shape[-1]
+        h = ConvNormAct(self.features, self.kernel_size, self.strides,
+                        norm=self.norm, name="conv1")(x, train)
+        h = ConvNorm(self.features, self.kernel_size,
+                     [1] * len(self.kernel_size), norm=self.norm,
+                     name="conv2")(h, train)
+        if cin != self.features or any(s != 1 for s in self.strides):
+            ones = [1] * len(self.kernel_size)
+            skip = ConvNorm(self.features, ones, self.strides,
+                            norm=self.norm, use_bias=False,
+                            name="skip")(x, train)
+        else:
+            skip = x
+        return lrelu(h + skip)
+
+
+class StackedResidualBlocks(nn.Module):
+    """n residual blocks; the first may stride/change channels (reference
+    StackedResidualBlocks)."""
+
+    n_blocks: int
+    features: int
+    kernel_size: Sequence[int]
+    first_stride: Sequence[int]
+    norm: str = "instance"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ones = [1] * len(self.kernel_size)
+        for i in range(self.n_blocks):
+            stride = self.first_stride if i == 0 else ones
+            x = BasicBlockD(self.features, self.kernel_size, stride,
+                            norm=self.norm, name=f"block{i}")(x, train)
+        return x
 
 
 class PlainConvUNet(nn.Module):

@@ -37,6 +37,10 @@ class MambaBlock(nn.Module):
     d_state: int = 16
     d_conv: int = 4
     expand: int = 2
+    # project_out=False returns the gated d_inner features without the final
+    # out_proj (LKM-UNet's Bi*MambaLayers share one out_proj across the
+    # forward/backward passes, nnUNetTrainer_LKM_UNet.py:163-180)
+    project_out: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -82,6 +86,8 @@ class MambaBlock(nn.Module):
         )[:, 0]                                        # (B, d_inner, L)
         y = jnp.swapaxes(y, 1, 2)                      # (B, L, d_inner)
         y = y * jax.nn.silu(z)
+        if not self.project_out:
+            return y
         return nn.Dense(self.d_model, use_bias=False, name="out_proj")(y)
 
 
@@ -93,6 +99,7 @@ class SS2D(nn.Module):
     d_model: int
     d_state: int = 16
     d_conv: int = 3
+    conv_bias: bool = True
     expand: float = 2.0
     dropout: float = 0.0
     # forward_type ablation dispatch (reference vmamba.py:394-458). Base
@@ -159,7 +166,8 @@ class SS2D(nn.Module):
             xz = nn.Dense(2 * d_inner, use_bias=False, name="in_proj")(x)
             xh, z = jnp.split(xz, 2, axis=-1)
         xh = nn.Conv(d_inner, (self.d_conv, self.d_conv), padding="SAME",
-                     feature_group_count=d_inner, name="conv2d")(xh)
+                     feature_group_count=d_inner, use_bias=self.conv_bias,
+                     name="conv2d")(xh)
         xh = jax.nn.silu(xh)
 
         xs = scan_fn(xh)                               # (B, 4, Din, L)

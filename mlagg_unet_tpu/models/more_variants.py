@@ -1,7 +1,5 @@
 """Additional variant-zoo architectures composed from the shared pieces.
 
-* SwinUMamba (nnUNetTrainerSwinUMambaScratch.py): VSSM (VMamba) encoder +
-  UNet-style conv decoder with deep supervision.
 * SwinTUNet (nnUNetTrainer_SwinTUNet.py): Swin transformer U-shape with
   patch-expand decoder.
 * MambaUNet (nnUNetTrainer_MambaUNet.py): pure-VSS U-shape (Swin-UNet with
@@ -28,36 +26,6 @@ from mlagg_unet_tpu.models.mednext import OutBlock
 from mlagg_unet_tpu.models.swin_unetr import SwinStage, PatchMergingSwin
 from mlagg_unet_tpu.models.vmamba import PatchExpand2D, VSSBlock, VSSM
 from mlagg_unet_tpu.ops import selective_scan_auto as selective_scan
-
-
-class SwinUMamba(nn.Module):
-    """VSSM encoder + conv decoder with DS heads."""
-
-    num_classes: int
-    depths: Sequence[int] = (2, 2, 2, 2)
-    dims: Sequence[int] = (48, 96, 192, 384)
-    deep_supervision: bool = True
-
-    @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        feats = VSSM(depths=self.depths, dims=self.dims, name="vssm")(
-            x, deterministic)
-        h = feats[-1]
-        ds = []
-        for i in range(len(self.dims) - 2, -1, -1):
-            h = TransposedConvND(self.dims[i], [2, 2], name=f"up{i}")(h)
-            h = jnp.concatenate([h, feats[i]], axis=-1)
-            h = StackedConvBlocks(2, self.dims[i], [3, 3], [1, 1],
-                                  name=f"dec{i}")(h)
-            if self.deep_supervision or i == 0:
-                ds.append(OutBlock(self.num_classes, name=f"seg{i}")(h))
-        # final x4 to input res
-        h = TransposedConvND(self.dims[0] // 2, [4, 4], name="up_final")(h)
-        out = OutBlock(self.num_classes, name="seg_final")(h)
-        outs = [out] + ds[::-1]
-        if not self.deep_supervision:
-            return out
-        return outs
 
 
 class SwinTUNet(nn.Module):

@@ -53,7 +53,9 @@ class PatchMerging2D(nn.Module):
     def __call__(self, x):
         B, H, W, C = x.shape
         x = x.reshape(B, H // 2, 2, W // 2, 2, C)
-        x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
+        # torch concat order [x0, x1, x2, x3] = (h,w) offsets
+        # (0,0),(1,0),(0,1),(1,1): w-offset outer, h-offset inner
+        x = jnp.transpose(x, (0, 1, 3, 4, 2, 5)).reshape(
             B, H // 2, W // 2, 4 * C)
         x = nn.LayerNorm(name="norm")(x)
         return nn.Dense(self.out_dim, use_bias=False, name="reduction")(x)

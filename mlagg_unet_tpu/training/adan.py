@@ -7,7 +7,7 @@ betas (0.02, 0.08, 0.01); this mirrors that implementation exactly:
     m_t = (1-b1) m + b1 g
     v_t = (1-b2) v + b2 (g - g_prev)          (zero on the first step)
     n_t = (1-b3) n + b3 (g + (1-b2)(g - g_prev))^2
-    p  <- (p - lr (m_t + (1-b2) v_t) / (sqrt(n_t) + eps)) / (1 + lr wd)
+    p  <- (p - lr (m_t + (1-b2) v_t) / sqrt(n_t + eps)) / (1 + lr wd)
 
 (no bias correction, decoupled multiplicative weight decay).
 """

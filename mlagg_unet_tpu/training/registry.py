@@ -309,8 +309,12 @@ register_trainer(replace(_default, name="nnUNetTrainerTransUNet",
                          enable_deep_supervision=False, optimizer="adamw",
                          initial_lr=1e-4))
 NETWORK_BUILDERS.update({
+    # faithful ports (parity-tested vs the reference torch sources)
     "swin_umamba": _make_simple_builder(
-        "mlagg_unet_tpu.models.more_variants", "SwinUMamba", two_d_only=True),
+        "mlagg_unet_tpu.models.swin_umamba", "SwinUMamba", two_d_only=True),
+    "swin_umamba_d": _make_simple_builder(
+        "mlagg_unet_tpu.models.swin_umamba", "SwinUMambaD",
+        two_d_only=True),
     "swin_tunet": _make_simple_builder(
         "mlagg_unet_tpu.models.more_variants", "SwinTUNet", two_d_only=True),
     "umamba_ss3d": _make_simple_builder(
@@ -333,6 +337,9 @@ NETWORK_BUILDERS["mamba_unet"] = _build_mamba_unet
 register_trainer(replace(_default, name="nnUNetTrainerSwinUMambaScratch",
                          network="swin_umamba", optimizer="adamw",
                          initial_lr=1e-4))
+register_trainer(replace(_default, name="nnUNetTrainerSwinUMambaDScratch",
+                         network="swin_umamba_d", optimizer="adamw",
+                         initial_lr=1e-4))
 register_trainer(replace(_default, name="nnUNetTrainer_SwinTUNet",
                          network="swin_tunet", optimizer="adamw",
                          initial_lr=1e-4, enable_deep_supervision=False))
@@ -341,17 +348,43 @@ register_trainer(replace(_default, name="nnUNetTrainer_MambaUNet",
                          initial_lr=1e-3))
 register_trainer(replace(_default, name="nnUNetTrainerUMambaBot_SS3D",
                          network="umamba_ss3d"))
+def _build_lkm_unet(configuration_manager, num_input_channels,
+                    num_output_channels, deep_supervision):
+    """Plans-driven LKM-UNet, mirroring get_lkmunet_from_plans
+    (nnUNetTrainer_LKM_UNet.py:677-729): features = min(base * 2^i, max),
+    kernels/strides/blocks straight from the configuration. 2D and 3D."""
+    from mlagg_unet_tpu.models.lkm_unet import LKMUNet
+
+    cm = configuration_manager
+    num_stages = len(cm.conv_kernel_sizes)
+    feats = [min(cm.UNet_base_num_features * 2 ** i,
+                 cm.unet_max_num_features) for i in range(num_stages)]
+    return LKMUNet(
+        num_classes=num_output_channels,
+        n_stages=num_stages,
+        features_per_stage=tuple(feats),
+        kernel_sizes=tuple(tuple(k) for k in cm.conv_kernel_sizes),
+        strides=tuple(tuple(s) for s in cm.pool_op_kernel_sizes),
+        n_conv_per_stage=tuple(cm.n_conv_per_stage_encoder),
+        n_conv_per_stage_decoder=tuple(cm.n_conv_per_stage_decoder),
+        deep_supervision=deep_supervision,
+    )
+
+
 NETWORK_BUILDERS.update({
-    "lkm_unet": _make_simple_builder(
-        "mlagg_unet_tpu.models.lkm_msvm", "LKMUNet", two_d_only=True),
+    "lkm_unet": _build_lkm_unet,
     "msvm_unet": _make_simple_builder(
-        "mlagg_unet_tpu.models.lkm_msvm", "MSVMUNet", two_d_only=True),
+        "mlagg_unet_tpu.models.msvm_unet", "MSVMUNet", two_d_only=True),
 })
 register_trainer(replace(_default, name="nnUNetTrainer_LKM_UNet",
                          network="lkm_unet"))
+# reference nnUNetTrainer_MSVM_UNet.py:21-27,59-64: AdamW 1e-4 / wd 3e-5,
+# timm cosine w/ 10-epoch warmup, 500 epochs, no deep supervision
 register_trainer(replace(_default, name="nnUNetTrainer_MSVM_UNet",
                          network="msvm_unet", optimizer="adamw",
-                         initial_lr=1e-3, enable_deep_supervision=False))
+                         initial_lr=1e-4, num_epochs=500,
+                         lr_scheduler="cosine_warmup",
+                         enable_deep_supervision=False))
 register_trainer(replace(_default, name="nnUNetTrainerSwinUNETR_2d",
                          network="swin_unetr",
                          enable_deep_supervision=False, optimizer="adamw",
@@ -497,7 +530,6 @@ for _alias, _orig in (
     ("nnUNetTrainernnMamba", "nnUNetTrainer_nnMamba"),
     ("nnUNetTrainer_SwinUNETR_2d", "nnUNetTrainerSwinUNETR_2d"),
     ("nnUNetTrainerUMambaEnc_SS3D", "nnUNetTrainerUMambaBot_SS3D"),
-    ("nnUNetTrainerSwinUMambaDScratch", "nnUNetTrainerSwinUMambaScratch"),
     ("nnUNetTrainer_MedNeXt_new", "nnUNetTrainer_MedNeXt"),
 ):
     register_trainer(replace(TRAINER_REGISTRY[_orig], name=_alias))

@@ -102,8 +102,8 @@ REFERENCE_FLAGSHIP_RULES = [
 # keys whose tensors use torch's ConvTranspose layout (I, O/g, *k) —
 # including OutBlock, which the reference implements as ConvTranspose(k=1)
 _REFERENCE_TRANSPOSED = _re.compile(
-    r"(transp_conv|up_\d+\.conv1|up_\d+\.res_conv|out_\d+\.conv_out)"
-    r"(\.conv)?\.(weight|bias)$")
+    r"(transp_conv|transpconvs\.\d+|up_\d+\.conv1|up_\d+\.res_conv"
+    r"|out_\d+\.conv_out)(\.conv)?\.(weight|bias)$")
 
 
 def reference_key_to_flax(key: str) -> str:
@@ -132,12 +132,89 @@ REFERENCE_MEDNEXT_RULES = [
 ]
 
 
+# MSVM-UNet checkpoints (variants/mamba/nnUNetTrainer_MSVM_UNet.py:2685-
+# 2960: VSSM tiny_0230s encoder + LKPE/MSVSS decoder). Verified end-to-end
+# by tests/test_torch_parity.py::test_msvm_unet_forward_parity.
+REFERENCE_MSVM_RULES = [
+    (r"^encoder\.layer0\.0\.", "encoder.patch_embed.conv1."),
+    (r"^encoder\.layer0\.2\.", "encoder.patch_embed.norm1."),
+    (r"^encoder\.layer1\.0\.", "encoder.patch_embed.conv2."),
+    (r"^encoder\.layer1\.2\.", "encoder.patch_embed.norm2."),
+    (r"^encoder\.layers\.(\d+)\.blocks\.(\d+)\.", r"encoder.layer\1_block\2."),
+    (r"^encoder\.downsamples\.(\d+)\.1\.", r"encoder.downsample\1.conv."),
+    (r"^encoder\.downsamples\.(\d+)\.3\.", r"encoder.downsample\1.norm."),
+    (r"^decoder\.layers\.(\d+)\.up\.expand\.0\.", r"up\1.up.expand_conv1."),
+    (r"^decoder\.layers\.(\d+)\.up\.expand\.1\.", r"up\1.up.bn."),
+    (r"^decoder\.layers\.(\d+)\.up\.expand\.3\.", r"up\1.up.expand_dwconv."),
+    (r"^decoder\.layers\.(\d+)\.up\.norm\.", r"up\1.up.norm."),
+    (r"^decoder\.layers\.(\d+)\.concat_layer\.", r"up\1.concat_layer."),
+    (r"^decoder\.layers\.(\d+)\.vss_layer\.blocks\.(\d+)\.", r"up\1.block\2."),
+    (r"^decoder\.out_layers\.0\.expand\.0\.", "final.expand_conv1."),
+    (r"^decoder\.out_layers\.0\.expand\.1\.", "final.bn."),
+    (r"^decoder\.out_layers\.0\.expand\.3\.", "final.expand_dwconv."),
+    (r"^decoder\.out_layers\.0\.norm\.", "final.norm."),
+    (r"^decoder\.out_layers\.0\.out\.", "final.out."),
+    (r"\.multiscale_conv\.dw_convs\.(\d+)\.", r".multiscale_conv.dw\1."),
+]
+
+
+# LKM-UNet checkpoints (variants/mamba/nnUNetTrainer_LKM_UNet.py:122-730).
+# Verified by tests/test_torch_parity.py::test_lkm_unet_forward_parity.
+REFERENCE_LKM_RULES = [
+    (r"^decoder\.encoder\.", None),        # duplicate module registration
+    (r"^encoder\.stem\.convs\.(\d+)\.norm\.",
+     r"stem.conv\1.norm.GroupNorm_0."),
+    (r"^encoder\.stem\.convs\.(\d+)\.", r"stem.conv\1."),
+    (r"^encoder\.stages\.(\d+)\.blocks\.(\d+)\.", r"stage\1.block\2."),
+    (r"^encoder\.mamba_layers\.(\d+)\.", r"pixel_mamba\1.bi."),
+    (r"^encoder\.w_mamba_layers\.(\d+)\.", r"window_mamba\1.bi."),
+    (r"^decoder\.transpconvs\.(\d+)\.", r"transpconv\1."),
+    (r"^decoder\.stages\.(\d+)\.blocks\.(\d+)\.", r"dec_stage\1.block\2."),
+    (r"^decoder\.seg_layers\.(\d+)\.", r"seg\1."),
+    (r"\.skip\.0\.", ".skip.conv."),
+    (r"\.skip\.1\.", ".skip.norm.GroupNorm_0."),
+    (r"\.(conv1|conv2)\.norm\.", r".\1.norm.GroupNorm_0."),
+    (r"\.dt_proj\.weight$", ".dt_proj_weight"),
+    (r"\.dt_proj\.bias$", ".dt_proj_bias"),
+]
+
+
+# Swin-UMamba checkpoints (variants/mamba/nnUNetTrainerSwinUMambaScratch.py
+# :556-734 and nnUNetTrainerSwinUMambaDScratch.py:728-744). Verified by
+# tests/test_torch_parity.py::test_swin_umamba{,_d}_forward_parity.
+_SWIN_UMAMBA_SHARED = [
+    (r"^(decoder\.)?vssm_encoder\.patch_embed\.proj\.",
+     "vssm_encoder.patch_embed_proj."),
+    (r"^(decoder\.)?vssm_encoder\.patch_embed\.norm\.",
+     "vssm_encoder.patch_embed_norm."),
+    (r"^vssm_encoder\.layers\.(\d+)\.blocks\.(\d+)\.",
+     r"vssm_encoder.layer\1.block\2."),
+    (r"^vssm_encoder\.downsamples\.(\d+)\.", r"vssm_encoder.downsample\1."),
+]
+
+REFERENCE_SWIN_UMAMBA_RULES = _SWIN_UMAMBA_SHARED + [
+    (r"^stem\.0\.", "stem_conv."),
+    (r"^stem\.1\.", "stem_norm.GroupNorm_0."),
+    (r"^out_layers\.(\d+)\.conv\.conv\.", r"out\1.conv."),
+    (r"\.transp_conv\.conv\.", ".transp_conv."),
+    (r"\.(conv1|conv2|conv3)\.conv\.", r".\1."),
+    (r"\.(norm1|norm2|norm3)\.", r".\1.GroupNorm_0."),
+]
+
+REFERENCE_SWIN_UMAMBA_D_RULES = _SWIN_UMAMBA_SHARED + [
+    (r"^decoder\.expand_layers\.(\d+)\.", r"expand\1."),
+    (r"^decoder\.stages\.(\d+)\.blocks\.(\d+)\.", r"stage\1.block\2."),
+    (r"^decoder\.concat_back_dim\.(\d+)\.", r"concat_back_dim\1."),
+    (r"^decoder\.seg_layers\.(\d+)\.", r"seg\1."),
+]
+
+
 def _convert_reference_state_dict(state_dict, rules) -> Dict[str, np.ndarray]:
     out = {}
     for key, tensor in state_dict.items():
         if key.startswith("module."):
             key = key[len("module."):]
-        if key == "dummy_tensor":
+        if key == "dummy_tensor" or key.endswith("num_batches_tracked"):
             continue
         arr = np.asarray(tensor.detach().cpu().numpy()
                          if hasattr(tensor, "detach") else tensor)
@@ -148,13 +225,24 @@ def _convert_reference_state_dict(state_dict, rules) -> Dict[str, np.ndarray]:
             arr = arr.reshape(4, -1, arr.shape[-1])
         elif leaf_name == "Ds":
             arr = arr.reshape(4, -1)
+        elif leaf_name == "A_log" and arr.ndim == 2:
+            # mamba_ssm keeps (d, n); our MambaBlock holds (1, d, n)
+            arr = arr[None]
         elif key.endswith(("grn_beta", "grn_gamma")):
             # torch channels-first (1, C, 1, 1[, 1]) -> channels-last
             arr = np.moveaxis(arr, 1, -1)
         transposed = bool(_REFERENCE_TRANSPOSED.search(key))
         mapped = key
+        dropped = False
         for pat, rep in rules:
+            if rep is None:
+                if _re.search(pat, mapped):
+                    dropped = True
+                    break
+                continue
             mapped = _re.sub(pat, rep, mapped)
+        if dropped:
+            continue
         parts = mapped.split(".")
         leaf = parts[-1]
         if leaf == "weight":
@@ -187,6 +275,26 @@ def convert_reference_mednext_state_dict(state_dict) -> Dict[str, np.ndarray]:
     """torch MedNeXt (MedNextV1_new) state_dict -> flax layout."""
     return _convert_reference_state_dict(state_dict,
                                          REFERENCE_MEDNEXT_RULES)
+
+
+def convert_reference_lkm_state_dict(state_dict) -> Dict[str, np.ndarray]:
+    """torch LKMUNet state_dict -> flax layout."""
+    return _convert_reference_state_dict(state_dict, REFERENCE_LKM_RULES)
+
+
+def convert_reference_swin_umamba_state_dict(
+        state_dict, d_variant: bool = False) -> Dict[str, np.ndarray]:
+    """torch SwinUMamba / SwinUMambaD state_dict -> flax layout."""
+    rules = (REFERENCE_SWIN_UMAMBA_D_RULES if d_variant
+             else REFERENCE_SWIN_UMAMBA_RULES)
+    return _convert_reference_state_dict(state_dict, rules)
+
+
+def convert_reference_msvm_state_dict(state_dict) -> Dict[str, np.ndarray]:
+    """torch MSVMUNet state_dict -> flax layout. BatchNorm running stats
+    come out as .../running_mean|running_var keys for the caller to place
+    into the batch_stats collection (mean/var leaves)."""
+    return _convert_reference_state_dict(state_dict, REFERENCE_MSVM_RULES)
 
 
 def load_pretrained_torch_weights(params, torch_checkpoint_path: str,

@@ -171,6 +171,16 @@ def _install_shims():
     sys.modules["selective_scan_cuda_core"] = sscore
     sys.modules["selective_scan_cuda_oflex"] = ssoflex
 
+    # ------- loguru (MSVM file imports it at module level) -------
+    loguru = types.ModuleType("loguru")
+
+    class _SilentLogger:
+        def __getattr__(self, name):
+            return lambda *a, **k: None
+
+    loguru.logger = _SilentLogger()
+    sys.modules["loguru"] = loguru
+
     # ------- fake triton (csm_triton decorates at module level) -------
     class _FakeJit:
         def __call__(self, fn=None, **kw):
@@ -310,6 +320,11 @@ def _install_shims():
     m_blocks.UnetrUpBlock = UnetrUpBlock
     m_dyn.get_conv_layer = get_conv_layer
     m_dyn.UnetResBlock = UnetResBlock
+    m_dyn.UnetOutBlock = UnetOutBlock
+    m_unetr = types.ModuleType("monai.networks.blocks.unetr_block")
+    m_unetr.UnetrBasicBlock = UnetrBasicBlock
+    m_unetr.UnetrUpBlock = UnetrUpBlock
+    m_blocks.unetr_block = m_unetr
     m_lutils.get_norm_layer = _norm
     monai.networks = m_networks
     m_networks.blocks = m_blocks
@@ -320,6 +335,7 @@ def _install_shims():
     sys.modules["monai.networks"] = m_networks
     sys.modules["monai.networks.blocks"] = m_blocks
     sys.modules["monai.networks.blocks.dynunet_block"] = m_dyn
+    sys.modules["monai.networks.blocks.unetr_block"] = m_unetr
     sys.modules["monai.networks.layers"] = m_layers
     sys.modules["monai.networks.layers.utils"] = m_lutils
 
@@ -441,3 +457,367 @@ def load_reference_vmamba():
     exec(compile(src, str(VMAMBA_DIR / "vmamba.py"), "exec"), vm.__dict__)
     _cache["vmamba"] = vm
     return vm
+
+
+MSVM = REF_DIR / "variants/mamba/nnUNetTrainer_MSVM_UNet.py"
+
+
+def load_reference_msvm():
+    """Exec the reference MSVM-UNet file (vendored VSSM + MSVM decoder).
+
+    The file does not compile as shipped: it carries a mid-file
+    ``from __future__ import annotations`` (line 68, a SyntaxError), so we
+    strip that line and exec from the section below the (nnunetv2-importing)
+    trainer class. CrossScanTriton/CrossMergeTriton are rebound to the
+    file's own torch CrossScan/CrossMerge fallbacks (same math; the fake
+    triton shim cannot execute kernels)."""
+    if "msvm" in _cache:
+        return _cache["msvm"]
+    _install_shims()
+
+    src = MSVM.read_text()
+    src = src.replace("from __future__ import annotations", "")
+    start = src.index("# triton cross scan")
+    mod = types.ModuleType("ref_msvm")
+    mod.__file__ = str(MSVM)
+    exec(compile(src[start:], str(MSVM), "exec"), mod.__dict__)
+    # the v05 forward binds these at SS2D construction time
+    mod.CrossScanTriton = mod.CrossScan
+    mod.CrossMergeTriton = mod.CrossMerge
+    mod.CrossScanTriton1b1 = mod.CrossScan_Ab_1direction
+    _cache["msvm"] = mod
+    return mod
+
+
+def _install_dna_shims():
+    """dynamic_network_architectures building blocks (not installed in this
+    environment, nor vendored by the reference). These follow the public
+    library's module structure and state_dict naming (convs.N.conv/.norm,
+    conv1/conv2/skip.{0,1}) so converted checkpoints keep working; the
+    conv-block math is the standard conv->InstanceNorm->LeakyReLU /
+    residual BasicBlockD composition."""
+    import torch
+    import torch.nn as nn
+
+    if "dynamic_network_architectures" in sys.modules:
+        return
+    _install_shims()
+
+    def _pad(k):
+        return [(i - 1) // 2 for i in k] if isinstance(k, (tuple, list)) \
+            else (k - 1) // 2
+
+    class ConvDropoutNormReLU(nn.Module):
+        def __init__(self, conv_op, in_ch, out_ch, kernel, stride, conv_bias,
+                     norm_op=None, norm_op_kwargs=None, dropout_op=None,
+                     dropout_op_kwargs=None, nonlin=None, nonlin_kwargs=None,
+                     nonlin_first=False):
+            super().__init__()
+            self.conv = conv_op(in_ch, out_ch, kernel, stride,
+                                padding=_pad(kernel), bias=conv_bias)
+            if dropout_op is not None:
+                self.dropout = dropout_op(**(dropout_op_kwargs or {}))
+            if norm_op is not None:
+                self.norm = norm_op(out_ch, **(norm_op_kwargs or {}))
+            if nonlin is not None:
+                self.nonlin = nonlin(**(nonlin_kwargs or {}))
+
+        def forward(self, x):
+            x = self.conv(x)
+            if hasattr(self, "dropout"):
+                x = self.dropout(x)
+            if hasattr(self, "norm"):
+                x = self.norm(x)
+            if hasattr(self, "nonlin"):
+                x = self.nonlin(x)
+            return x
+
+    class StackedConvBlocks(nn.Module):
+        def __init__(self, num_convs, conv_op, in_ch, out_ch, kernel,
+                     initial_stride, conv_bias=False, norm_op=None,
+                     norm_op_kwargs=None, dropout_op=None,
+                     dropout_op_kwargs=None, nonlin=None, nonlin_kwargs=None,
+                     nonlin_first=False):
+            super().__init__()
+            if not isinstance(out_ch, (tuple, list)):
+                out_ch = [out_ch] * num_convs
+            convs = [ConvDropoutNormReLU(
+                conv_op, in_ch, out_ch[0], kernel, initial_stride, conv_bias,
+                norm_op, norm_op_kwargs, dropout_op, dropout_op_kwargs,
+                nonlin, nonlin_kwargs)]
+            for i in range(1, num_convs):
+                convs.append(ConvDropoutNormReLU(
+                    conv_op, out_ch[i - 1], out_ch[i], kernel, 1, conv_bias,
+                    norm_op, norm_op_kwargs, dropout_op, dropout_op_kwargs,
+                    nonlin, nonlin_kwargs))
+            self.convs = nn.Sequential(*convs)
+            self.output_channels = out_ch[-1]
+
+        def forward(self, x):
+            return self.convs(x)
+
+        def compute_conv_feature_map_size(self, input_size):
+            return 0
+
+    class BasicBlockD(nn.Module):
+        def __init__(self, conv_op, in_ch, out_ch, kernel, stride,
+                     conv_bias=False, norm_op=None, norm_op_kwargs=None,
+                     dropout_op=None, dropout_op_kwargs=None, nonlin=None,
+                     nonlin_kwargs=None, stochastic_depth_p=0.0,
+                     squeeze_excitation=False,
+                     squeeze_excitation_reduction_ratio=1. / 16):
+            super().__init__()
+            self.conv1 = ConvDropoutNormReLU(
+                conv_op, in_ch, out_ch, kernel, stride, conv_bias, norm_op,
+                norm_op_kwargs, dropout_op, dropout_op_kwargs, nonlin,
+                nonlin_kwargs)
+            self.conv2 = ConvDropoutNormReLU(
+                conv_op, out_ch, out_ch, kernel, 1, conv_bias, norm_op,
+                norm_op_kwargs, dropout_op, dropout_op_kwargs, None, None)
+            self.nonlin2 = nonlin(**(nonlin_kwargs or {})) \
+                if nonlin is not None else nn.Identity()
+            stride_l = stride if isinstance(stride, (tuple, list)) \
+                else [stride]
+            if in_ch != out_ch or any(i != 1 for i in stride_l):
+                self.skip = nn.Sequential(
+                    conv_op(in_ch, out_ch, 1, stride, bias=False),
+                    norm_op(out_ch, **(norm_op_kwargs or {})))
+            else:
+                self.skip = nn.Identity()
+
+        def forward(self, x):
+            residual = self.skip(x)
+            out = self.conv2(self.conv1(x))
+            return self.nonlin2(out + residual)
+
+    class BottleneckD(nn.Module):
+        pass
+
+    class StackedResidualBlocks(nn.Module):
+        def __init__(self, n_blocks, conv_op, input_channels,
+                     output_channels, kernel_size, initial_stride,
+                     conv_bias=False, norm_op=None, norm_op_kwargs=None,
+                     dropout_op=None, dropout_op_kwargs=None, nonlin=None,
+                     nonlin_kwargs=None, block=BasicBlockD,
+                     bottleneck_channels=None, stochastic_depth_p=0.0,
+                     squeeze_excitation=False,
+                     squeeze_excitation_reduction_ratio=1. / 16):
+            super().__init__()
+            if not isinstance(output_channels, (tuple, list)):
+                output_channels = [output_channels] * n_blocks
+            blocks = [block(conv_op, input_channels, output_channels[0],
+                            kernel_size, initial_stride, conv_bias, norm_op,
+                            norm_op_kwargs, dropout_op, dropout_op_kwargs,
+                            nonlin, nonlin_kwargs)]
+            for i in range(1, n_blocks):
+                blocks.append(block(
+                    conv_op, output_channels[i - 1], output_channels[i],
+                    kernel_size, 1, conv_bias, norm_op, norm_op_kwargs,
+                    dropout_op, dropout_op_kwargs, nonlin, nonlin_kwargs))
+            self.blocks = nn.Sequential(*blocks)
+            self.output_channels = output_channels[-1]
+
+        def forward(self, x):
+            return self.blocks(x)
+
+        def compute_conv_feature_map_size(self, input_size):
+            return 0
+
+    def get_matching_convtransp(conv_op):
+        return {nn.Conv2d: nn.ConvTranspose2d,
+                nn.Conv3d: nn.ConvTranspose3d}[conv_op]
+
+    def get_matching_pool_op(conv_op, adaptive=False, pool_type="max"):
+        d = {"max": {nn.Conv2d: nn.MaxPool2d, nn.Conv3d: nn.MaxPool3d},
+             "avg": {nn.Conv2d: nn.AvgPool2d, nn.Conv3d: nn.AvgPool3d}}
+        return d[pool_type][conv_op]
+
+    def get_matching_instancenorm(conv_op):
+        return {nn.Conv2d: nn.InstanceNorm2d,
+                nn.Conv3d: nn.InstanceNorm3d}[conv_op]
+
+    def convert_dim_to_conv_op(dim):
+        return {1: nn.Conv1d, 2: nn.Conv2d, 3: nn.Conv3d}[dim]
+
+    def convert_conv_op_to_dim(conv_op):
+        return {nn.Conv1d: 1, nn.Conv2d: 2, nn.Conv3d: 3}[conv_op]
+
+    def maybe_convert_scalar_to_list(conv_op, scalar):
+        if isinstance(scalar, (tuple, list)):
+            return list(scalar)
+        return [scalar] * convert_conv_op_to_dim(conv_op)
+
+    def init_last_bn_before_add_to_0(module):
+        pass
+
+    class InitWeights_He:
+        def __init__(self, neg_slope=1e-2):
+            self.neg_slope = neg_slope
+
+        def __call__(self, module):
+            pass
+
+    class PlainConvEncoder(nn.Module):
+        pass
+
+    class UNetDecoder(nn.Module):
+        pass
+
+    dna = types.ModuleType("dynamic_network_architectures")
+    bb = types.ModuleType("dynamic_network_architectures.building_blocks")
+    helper = types.ModuleType(
+        "dynamic_network_architectures.building_blocks.helper")
+    helper.get_matching_convtransp = get_matching_convtransp
+    helper.get_matching_pool_op = get_matching_pool_op
+    helper.get_matching_instancenorm = get_matching_instancenorm
+    helper.convert_dim_to_conv_op = convert_dim_to_conv_op
+    helper.convert_conv_op_to_dim = convert_conv_op_to_dim
+    helper.maybe_convert_scalar_to_list = maybe_convert_scalar_to_list
+    simple = types.ModuleType(
+        "dynamic_network_architectures.building_blocks.simple_conv_blocks")
+    simple.StackedConvBlocks = StackedConvBlocks
+    simple.ConvDropoutNormReLU = ConvDropoutNormReLU
+    residual = types.ModuleType(
+        "dynamic_network_architectures.building_blocks.residual")
+    residual.BasicBlockD = BasicBlockD
+    residual.BottleneckD = BottleneckD
+    residual.StackedResidualBlocks = StackedResidualBlocks
+    pce = types.ModuleType(
+        "dynamic_network_architectures.building_blocks.plain_conv_encoder")
+    pce.PlainConvEncoder = PlainConvEncoder
+    ud = types.ModuleType(
+        "dynamic_network_architectures.building_blocks.unet_decoder")
+    ud.UNetDecoder = UNetDecoder
+    wi = types.ModuleType(
+        "dynamic_network_architectures.initialization.weight_init")
+    wi.init_last_bn_before_add_to_0 = init_last_bn_before_add_to_0
+    wi.InitWeights_He = InitWeights_He
+    init_pkg = types.ModuleType(
+        "dynamic_network_architectures.initialization")
+    for name, m in {
+        "dynamic_network_architectures": dna,
+        "dynamic_network_architectures.building_blocks": bb,
+        "dynamic_network_architectures.building_blocks.helper": helper,
+        "dynamic_network_architectures.building_blocks.simple_conv_blocks":
+            simple,
+        "dynamic_network_architectures.building_blocks.residual": residual,
+        "dynamic_network_architectures.building_blocks.plain_conv_encoder":
+            pce,
+        "dynamic_network_architectures.building_blocks.unet_decoder": ud,
+        "dynamic_network_architectures.initialization": init_pkg,
+        "dynamic_network_architectures.initialization.weight_init": wi,
+    }.items():
+        sys.modules[name] = m
+
+    # ------- mamba_ssm.Mamba module class (slow path, exact math) -------
+    import math
+
+    import torch.nn.functional as F
+
+    mamba_mod = sys.modules["mamba_ssm"]
+    sel_fn = sys.modules[
+        "mamba_ssm.ops.selective_scan_interface"].selective_scan_fn
+
+    class Mamba(nn.Module):
+        """mamba_ssm.modules.mamba_simple.Mamba param structure + the
+        use_fast_path=False forward."""
+
+        def __init__(self, d_model, d_state=16, d_conv=4, expand=2,
+                     dt_rank="auto", conv_bias=True, bias=False,
+                     use_fast_path=True, layer_idx=None, **kw):
+            super().__init__()
+            self.d_model = d_model
+            self.d_state = d_state
+            self.d_conv = d_conv
+            self.d_inner = int(expand * d_model)
+            self.dt_rank = math.ceil(d_model / 16) if dt_rank == "auto" \
+                else dt_rank
+            self.in_proj = nn.Linear(d_model, 2 * self.d_inner, bias=bias)
+            self.conv1d = nn.Conv1d(self.d_inner, self.d_inner, d_conv,
+                                    groups=self.d_inner, padding=d_conv - 1,
+                                    bias=conv_bias)
+            self.x_proj = nn.Linear(self.d_inner,
+                                    self.dt_rank + 2 * d_state, bias=False)
+            self.dt_proj = nn.Linear(self.dt_rank, self.d_inner, bias=True)
+            A = torch.arange(1, d_state + 1, dtype=torch.float32
+                             ).repeat(self.d_inner, 1)
+            self.A_log = nn.Parameter(torch.log(A))
+            self.D = nn.Parameter(torch.ones(self.d_inner))
+            self.out_proj = nn.Linear(self.d_inner, d_model, bias=bias)
+
+        def forward(self, hidden_states):
+            B_, L, _ = hidden_states.shape
+            xz = self.in_proj(hidden_states).transpose(1, 2)  # (B, 2D, L)
+            x, z = xz.chunk(2, dim=1)
+            x = F.silu(self.conv1d(x)[..., :L])
+            x_dbl = self.x_proj(x.transpose(1, 2))            # (B, L, R+2N)
+            dt, Bs, Cs = torch.split(
+                x_dbl, [self.dt_rank, self.d_state, self.d_state], dim=-1)
+            dt = torch.einsum("blr,dr->bdl", dt, self.dt_proj.weight)
+            A = -torch.exp(self.A_log.float())
+            y = sel_fn(x, dt, A, Bs.transpose(1, 2).unsqueeze(1),
+                       Cs.transpose(1, 2).unsqueeze(1), D=self.D,
+                       z=z, delta_bias=self.dt_proj.bias,
+                       delta_softplus=True)
+            return self.out_proj(y.transpose(1, 2).to(hidden_states.dtype))
+
+    mamba_mod.Mamba = Mamba
+
+
+SWIN_UMAMBA = REF_DIR / "variants/mamba/nnUNetTrainerSwinUMambaScratch.py"
+SWIN_UMAMBA_D = REF_DIR / "variants/mamba/nnUNetTrainerSwinUMambaDScratch.py"
+
+
+def _load_swin_umamba_file(path, cache_key):
+    """Exec a SwinUMamba trainer file's model section (from the model-part
+    imports to the nnunetv2-dependent get_*_from_plans), stripping the
+    nnunetv2 imports the model classes never use."""
+    if cache_key in _cache:
+        return _cache[cache_key]
+    _install_dna_shims()
+
+    src = path.read_text()
+    start = src.index("import re\nimport time\nimport math")
+    end = src.index("def get_swin_umamba")
+    body = src[start:end]
+    for line in (
+        "from nnunetv2.utilities.plans_handling.plans_handler import "
+        "ConfigurationManager, PlansManager",
+        "from nnunetv2.utilities.network_initialization import "
+        "InitWeights_He",
+    ):
+        body = body.replace(line, "")
+    mod = types.ModuleType(f"ref_{cache_key}")
+    mod.__file__ = str(path)
+    exec(compile(body, str(path), "exec"), mod.__dict__)
+    _cache[cache_key] = mod
+    return mod
+
+
+def load_reference_swin_umamba():
+    return _load_swin_umamba_file(SWIN_UMAMBA, "swin_umamba")
+
+
+def load_reference_swin_umamba_d():
+    return _load_swin_umamba_file(SWIN_UMAMBA_D, "swin_umamba_d")
+
+
+LKM = REF_DIR / "variants/mamba/nnUNetTrainer_LKM_UNet.py"
+
+
+def load_reference_lkm():
+    """Exec the reference LKM-UNet model section (below the trainer class,
+    above the nnunetv2-annotated get_lkmunet_from_plans) with
+    dynamic_network_architectures + mamba_ssm.Mamba shims."""
+    if "lkm" in _cache:
+        return _cache["lkm"]
+    _install_dna_shims()
+
+    src = LKM.read_text()
+    start = src.index("import numpy as np\nimport torch\nfrom torch import nn")
+    end = src.index("def get_lkmunet_from_plans")
+    mod = types.ModuleType("ref_lkm")
+    mod.__file__ = str(LKM)
+    exec(compile(src[start:end], str(LKM), "exec"), mod.__dict__)
+    _cache["lkm"] = mod
+    return mod

