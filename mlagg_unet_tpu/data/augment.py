@@ -70,16 +70,18 @@ def _rot_matrix_3d(ax: float, ay: float, az: float) -> np.ndarray:
     rz = np.array([[np.cos(az), -np.sin(az), 0],
                    [np.sin(az), np.cos(az), 0],
                    [0, 0, 1]])
-    # batchgenerators order: dot(dot(dot(I, rx), ry), rz) applied to coords
+    # batchgenerators builds dot(dot(dot(I, rx), ry), rz) ...
     return rx @ ry @ rz
 
 
 def _rotate_coords_2d(coords, angle):
-    return _rot_matrix_2d(angle) @ np.asarray(coords, dtype=float)
+    # ... and applies it as coords_new^T = coords^T @ M, i.e. M^T @ coords
+    # (rotate_coords_2d/3d in batchgenerators.augmentations.utils)
+    return _rot_matrix_2d(angle).T @ np.asarray(coords, dtype=float)
 
 
 def _rotate_coords_3d(coords, ax, ay, az):
-    return _rot_matrix_3d(ax, ay, az) @ np.asarray(coords, dtype=float)
+    return _rot_matrix_3d(ax, ay, az).T @ np.asarray(coords, dtype=float)
 
 
 def spatial_augment(
@@ -120,12 +122,12 @@ def spatial_augment(
     if do_rot:
         if dim == 2:
             a = rng.uniform(*rotation_for_da["x"])
-            coords = _rot_matrix_2d(a) @ coords
+            coords = _rotate_coords_2d(coords, a)
         else:
             ax = rng.uniform(*rotation_for_da["x"])
             ay = rng.uniform(*rotation_for_da["y"])
             az = rng.uniform(*rotation_for_da["z"])
-            coords = _rot_matrix_3d(ax, ay, az) @ coords
+            coords = _rotate_coords_3d(coords, ax, ay, az)
     if do_scale:
         # batchgenerators: zoom-out-biased sampling
         if rng.uniform() < 0.5 and scale_range[0] < 1:
@@ -147,13 +149,95 @@ def spatial_augment(
     out_seg = None
     if seg is not None:
         out_seg = np.stack([
-            np.round(
-                map_coordinates(seg[c].astype(float), coords, order=order_seg,
-                                mode="constant", cval=border_val_seg)
-            )
+            _interpolate_seg(seg[c], coords, order_seg, border_val_seg)
             for c in range(seg.shape[0])
         ]).astype(seg.dtype if seg.dtype != np.float16 else np.float32)
     return out_data, out_seg
+
+
+def _interpolate_seg(seg: np.ndarray, coords: np.ndarray, order: int,
+                     cval: float) -> np.ndarray:
+    """batchgenerators interpolate_img(..., is_seg=True): with order > 0 each
+    label is interpolated as a one-hot channel and thresholded at 0.5 (labels
+    iterated in sorted order, later ones overwrite). Interpolating label
+    VALUES would invent phantom intermediate labels at boundaries (e.g. a
+    0|2 edge yielding 1s) — the one-hot form never does.
+
+    order == 1 (the reference's order_seg default) takes an exact fast path:
+    voxels whose 2^dim interpolation corners all share one label resolve to
+    that label for any weights (the one-hot score is the weight sum == 1);
+    only label-boundary voxels run the per-label scoring, computed directly
+    from the corner weights."""
+    if order == 0:
+        return map_coordinates(seg.astype(float), coords, order=0,
+                               mode="constant", cval=cval).astype(seg.dtype)
+    if order == 1:
+        return _interpolate_seg_linear(seg, coords, cval)
+    result = np.zeros(coords.shape[1:], dtype=seg.dtype)
+    for c in np.unique(seg):
+        res = map_coordinates((seg == c).astype(float), coords, order=order,
+                              mode="constant", cval=cval)
+        result[res >= 0.5] = c
+    return result
+
+
+def _interpolate_seg_linear(seg: np.ndarray, coords: np.ndarray,
+                            cval: float) -> np.ndarray:
+    """Exact equivalent of per-label map_coordinates(order=1,
+    mode='constant', cval=cval) + (>= 0.5)-threshold overwrite: out-of-range
+    corners contribute cval to every label's one-hot score (scipy's
+    padded-array model), matching batchgenerators bit-for-bit."""
+    dim = coords.shape[0]
+    pts = coords.reshape(dim, -1)
+    npts = pts.shape[1]
+    f = np.floor(pts).astype(np.int64)
+    frac = (pts - f).astype(np.float32)
+    shape = np.array(seg.shape).reshape(dim, 1)
+    n_corners = 1 << dim
+    offsets = [np.array([(k >> a) & 1 for a in range(dim)], np.int64)
+               for k in range(n_corners)]
+
+    def corner_lab_valid(k):
+        idx = f + offsets[k][:, None]
+        valid = np.all((idx >= 0) & (idx < shape), axis=0)
+        ci = np.clip(idx, 0, shape - 1)
+        return seg[tuple(ci)], valid
+
+    # pass 1: uniform-corner fast path
+    lab0, valid0 = corner_lab_valid(0)
+    uniform = valid0.copy()
+    for k in range(1, n_corners):
+        lab, valid = corner_lab_valid(k)
+        uniform &= valid & (lab == lab0)
+
+    result = np.zeros(npts, dtype=seg.dtype)
+    result[uniform] = lab0[uniform]
+
+    mixed = ~uniform
+    if mixed.any():
+        fm, fracm = f[:, mixed], frac[:, mixed]
+        labs_m, ws_m, valids_m = [], [], []
+        for k in range(n_corners):
+            idx = fm + offsets[k][:, None]
+            valid = np.all((idx >= 0) & (idx < shape), axis=0)
+            ci = np.clip(idx, 0, shape - 1)
+            labs_m.append(seg[tuple(ci)])
+            w = np.ones(fm.shape[1], np.float32)
+            for a in range(dim):
+                w *= fracm[a] if offsets[k][a] else (1.0 - fracm[a])
+            ws_m.append(w)
+            valids_m.append(valid)
+        res_m = np.zeros(fm.shape[1], dtype=seg.dtype)
+        for c in np.unique(seg):
+            score = np.zeros(fm.shape[1], np.float32)
+            for k in range(n_corners):
+                v = np.where(valids_m[k],
+                             (labs_m[k] == c).astype(np.float32),
+                             np.float32(cval))
+                score += ws_m[k] * v
+            res_m[score >= 0.5] = c
+        result[mixed] = res_m
+    return result.reshape(coords.shape[1:])
 
 
 def _center_crop(x: np.ndarray, patch_size) -> np.ndarray:
@@ -165,9 +249,12 @@ def _center_crop(x: np.ndarray, patch_size) -> np.ndarray:
 
 
 def gaussian_noise(data, rng, p=0.1, noise_variance=(0, 0.1)):
+    """batchgenerators augment_gaussian_noise passes the sampled
+    "variance" directly as the scale (std) of np.random.normal — match
+    that, not sqrt(variance)."""
     if rng.uniform() < p:
         variance = rng.uniform(*noise_variance)
-        data = data + rng.normal(0.0, math.sqrt(max(variance, 1e-12)),
+        data = data + rng.normal(0.0, variance,
                                  size=data.shape).astype(np.float32)
     return data
 
@@ -181,9 +268,16 @@ def gaussian_blur(data, rng, p=0.2, sigma_range=(0.5, 1.0), p_per_channel=0.5):
     return data
 
 
-def brightness_multiplicative(data, rng, p=0.15, mult_range=(0.75, 1.25)):
+def brightness_multiplicative(data, rng, p=0.15, mult_range=(0.75, 1.25),
+                              per_channel=True):
+    """BrightnessMultiplicativeTransform default per_channel=True: an
+    independent multiplier per channel."""
     if rng.uniform() < p:
-        data = data * rng.uniform(*mult_range)
+        if per_channel:
+            for c in range(data.shape[0]):
+                data[c] = data[c] * rng.uniform(*mult_range)
+        else:
+            data = data * rng.uniform(*mult_range)
     return data
 
 
@@ -201,6 +295,21 @@ def contrast_augmentation(data, rng, p=0.15, contrast_range=(0.75, 1.25),
     return data
 
 
+def _skimage_resize(x: np.ndarray, target_shape, order: int) -> np.ndarray:
+    """skimage.transform.resize(..., mode='edge', anti_aliasing=False)
+    semantics (what batchgenerators' SimulateLowRes uses): pixel-AREA
+    aligned resampling with edge clamping == scipy zoom with
+    grid_mode=True, mode='nearest'."""
+    target_shape = tuple(int(t) for t in target_shape)
+    if x.shape == target_shape:
+        return x.astype(np.float32, copy=False)
+    factors = np.array(target_shape) / np.array(x.shape)
+    out = zoom(x.astype(float), factors, order=order, mode="nearest",
+               grid_mode=True)
+    assert out.shape == target_shape, (out.shape, target_shape)
+    return out.astype(np.float32)
+
+
 def simulate_low_resolution(data, rng, p=0.25, zoom_range=(0.5, 1.0),
                             p_per_channel=0.5, ignore_axes=None):
     if rng.uniform() < p:
@@ -213,11 +322,8 @@ def simulate_low_resolution(data, rng, p=0.25, zoom_range=(0.5, 1.0),
                 if ignore_axes is not None:
                     for ax in ignore_axes:
                         target[ax] = shp[ax]
-                down = np.zeros(target, dtype=np.float32)
-                down = zoom(data[c], target / shp, order=0)
-                data[c] = zoom(down, shp / np.array(down.shape), order=3,
-                               grid_mode=False)[tuple(slice(0, s) for s in shp)] \
-                    if down.shape != tuple(shp) else down
+                down = _skimage_resize(data[c], target, order=0)
+                data[c] = _skimage_resize(down, shp, order=3)
     return data
 
 
