@@ -16,3 +16,28 @@ Design tenets (see SURVEY.md section 7):
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_persistent_compile_cache():
+    """Cache compiled XLA executables on disk (~/.cache/mlagg_jax) so repeat
+    runs skip the slow remote TPU compile. Harmless on CPU; disable with
+    MLAGG_NO_COMPILE_CACHE=1."""
+    import os
+
+    if os.environ.get("MLAGG_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.expanduser("~/.cache/mlagg_jax"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_persistent_compile_cache()

@@ -28,10 +28,11 @@ from mlagg_unet_tpu.models.layers import (
     InstanceNorm,
 )
 from mlagg_unet_tpu.ops.cross_scan import (
-    cross_merge_multiscale,
+    cross_merge_multiscale_tokens,
     cross_scan_multiscale,
 )
 from mlagg_unet_tpu.ops import selective_scan_auto as selective_scan
+from mlagg_unet_tpu.ops.selective_scan_pallas import padded_scan_len
 
 
 def _a_log_init(copies: int, d_inner: int, d_state: int):
@@ -103,7 +104,11 @@ class SS2DSkip(nn.Module):
                               name=f"conv2d_{i}")(h)
             feats.append(jax.nn.silu(h))
 
-        xs_cat, l_split = cross_scan_multiscale(feats)      # (B,4,Din,Lcat)
+        # pre-pad L to the scan kernel's chunk geometry so its own pad and
+        # un-pad slice (two full-tensor HBM copies at MSMM sizes) vanish
+        l_real = sum(x.shape[1] * x.shape[2] for x in feats)
+        xs_cat, l_split = cross_scan_multiscale(
+            feats, pad_to=padded_scan_len(l_real, d_inner, self.d_state))
         L = xs_cat.shape[-1]
 
         x_proj_weight = self.param(
@@ -146,19 +151,18 @@ class SS2DSkip(nn.Module):
             xs_cat, dts, A, Bs, Cs, Ds, dt_projs_bias, delta_softplus=True,
         )                                                    # (B,4,Din,Lcat) fp32
 
-        y = cross_merge_multiscale(out_y, shapes, l_split)   # (B,Din,Lcat)
-        y = jnp.swapaxes(y, 1, 2)                            # (B,Lcat,Din)
+        # per-scale token tensors: LN/out_proj are token-pointwise, so
+        # applying them per scale is exact and skips the full-length fp32
+        # re-concat + (B,C,L)->(B,L,C) swap of a merged tensor
+        y_scales = cross_merge_multiscale_tokens(out_y, shapes, l_split)
         # LN in fp32 (autocast semantics), then back to the compute dtype
         # for the projection (reference out_proj runs in fp16 under AMP)
-        y = nn.LayerNorm(name="out_norm")(y).astype(cdt)
-        y = nn.Dense(self.d_model, use_bias=False, name="out_proj")(y)
-
-        # back to per-scale NHWC
+        out_norm = nn.LayerNorm(name="out_norm")
+        out_proj = nn.Dense(self.d_model, use_bias=False, name="out_proj")
         out = []
-        offset = 0
-        for (H, W), l in zip(shapes, l_split):
-            out.append(y[:, offset: offset + l].reshape(B, H, W, self.d_model))
-            offset += l
+        for (H, W), y in zip(shapes, y_scales):
+            y = out_proj(out_norm(y).astype(cdt))
+            out.append(y.reshape(B, H, W, self.d_model))
         return out
 
 

@@ -21,34 +21,76 @@ import jax.numpy as jnp
 
 
 def cross_scan_2d(x: jnp.ndarray) -> jnp.ndarray:
-    """x: (B, H, W, C) -> (B, 4, C, L) in the 4 scan orders."""
+    """x: (B, H, W, C) -> (B, 4, C, L) in the 4 scan orders.
+
+    Each direction is composed as flip-then-transpose directly on x so XLA
+    fuses it into ONE strided copy per direction (a separate flip over the
+    stacked (B, 2, C, L) result costs an extra full-tensor HBM pass).
+    Reversing the flattened row-major sequence == reversing both spatial
+    axes before flattening: flip(reshape(x)) == reshape(x[::-1, ::-1])."""
     B, H, W, C = x.shape
-    hw = jnp.transpose(x, (0, 3, 1, 2)).reshape(B, C, H * W)       # row-major
-    wh = jnp.transpose(x, (0, 3, 2, 1)).reshape(B, C, H * W)       # col-major
-    fwd = jnp.stack([hw, wh], axis=1)                               # (B,2,C,L)
-    return jnp.concatenate([fwd, jnp.flip(fwd, axis=-1)], axis=1)   # (B,4,C,L)
+    xr = x[:, ::-1, ::-1, :]
+    d0 = jnp.transpose(x, (0, 3, 1, 2)).reshape(B, C, H * W)   # row-major
+    d1 = jnp.transpose(x, (0, 3, 2, 1)).reshape(B, C, H * W)   # col-major
+    d2 = jnp.transpose(xr, (0, 3, 1, 2)).reshape(B, C, H * W)  # rev row-major
+    d3 = jnp.transpose(xr, (0, 3, 2, 1)).reshape(B, C, H * W)  # rev col-major
+    return jnp.stack([d0, d1, d2, d3], axis=1)                 # (B,4,C,L)
 
 
 def cross_merge_2d(ys: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
     """ys: (B, 4, C, L) per-direction scan outputs -> merged (B, C, L)
-    (sum after inverting each direction's layout)."""
+    (sum after inverting each direction's layout). Each inverse is a pure
+    index permutation composed directly into the sum so XLA's loop fusion
+    reads all four layouts without materializing intermediates."""
     B, K, C, L = ys.shape
-    y0 = ys[:, 0]
-    y1 = jnp.transpose(ys[:, 1].reshape(B, C, W, H), (0, 1, 3, 2)).reshape(B, C, L)
-    y2 = jnp.flip(ys[:, 2], axis=-1)
-    y3_f = jnp.flip(ys[:, 3], axis=-1)
-    y3 = jnp.transpose(y3_f.reshape(B, C, W, H), (0, 1, 3, 2)).reshape(B, C, L)
-    return y0 + y1 + y2 + y3
+    y0 = ys[:, 0].reshape(B, C, H, W)
+    y1 = jnp.transpose(ys[:, 1].reshape(B, C, W, H), (0, 1, 3, 2))
+    y2 = ys[:, 2].reshape(B, C, H, W)[:, :, ::-1, ::-1]
+    y3 = jnp.transpose(ys[:, 3].reshape(B, C, W, H), (0, 1, 3, 2)
+                       )[:, :, ::-1, ::-1]
+    return (y0 + y1 + y2 + y3).reshape(B, C, L)
 
 
-def cross_scan_multiscale(xs: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, List[int]]:
+def cross_scan_multiscale(
+    xs: Sequence[jnp.ndarray], pad_to: int = 0
+) -> Tuple[jnp.ndarray, List[int]]:
     """xs: list of (B, H_i, W_i, C) feature maps. Returns
     ((B, 4, C, L_cat), [L_i]) with each direction built per scale and scales
     concatenated along L — the reference's "implicit causality across scales"
-    (MambaSkip.py:414-422: flips are *per scale*, not over the concat)."""
+    (MambaSkip.py:414-422: flips are *per scale*, not over the concat).
+
+    pad_to > L_cat appends an all-zero tail inside the same concat (free
+    compared to a separate pad copy) so the selective-scan kernel's own
+    pad/slice becomes a no-op (see selective_scan_pallas.padded_scan_len);
+    the tail sits after every real scale, so the causal scan's real region
+    is unaffected and cross_merge_multiscale never reads it."""
     parts = [cross_scan_2d(x) for x in xs]
     l_split = [x.shape[1] * x.shape[2] for x in xs]
+    l_cat = sum(l_split)
+    if pad_to > l_cat:
+        B, K, C, _ = parts[0].shape
+        parts.append(jnp.zeros((B, K, C, pad_to - l_cat), parts[0].dtype))
     return jnp.concatenate(parts, axis=-1), l_split
+
+
+def cross_merge_multiscale_tokens(
+    ys: jnp.ndarray, shapes: Sequence[Tuple[int, int]], l_split: Sequence[int]
+) -> List[jnp.ndarray]:
+    """Like cross_merge_multiscale but returns per-scale TOKEN tensors
+    [(B, L_i, C)] — callers whose downstream ops are token-pointwise
+    (LayerNorm/Dense) apply them per scale, skipping the full-length fp32
+    re-concat and (B, C, L) -> (B, L, C) swap (two whole-tensor HBM passes
+    at MSMM sizes). Any pad tail after sum(l_split) is simply never read."""
+    B, K, C, L = ys.shape
+    offsets = [0]
+    for l in l_split:
+        offsets.append(offsets[-1] + l)
+    out = []
+    for i, (H, W) in enumerate(shapes):
+        sl = slice(offsets[i], offsets[i + 1])
+        merged = cross_merge_2d(ys[..., sl], H, W)          # (B, C, L_i)
+        out.append(jnp.swapaxes(merged, 1, 2))              # (B, L_i, C)
+    return out
 
 
 def cross_merge_multiscale(

@@ -49,7 +49,9 @@ from jax.experimental.pallas import tpu as pltpu
 def _doubling_scan(a, b, lane, lc):
     """Cumulative first-order scan along the last (lane) axis:
     returns (a_cum, b_cum) with b_cum_k = sum_j (prod_{i>j..k} a_i) b_j and
-    a_cum_k = prod_{0..k} a_i."""
+    a_cum_k = prod_{0..k} a_i. ``lane`` is a (1, 1, 1, lc) iota — the mask
+    compare is one replicated lane row, broadcast by the selects, instead of
+    a full-array op per pass."""
     shift = 1
     while shift < lc:
         a_sh = pltpu.roll(a, shift, axis=3)
@@ -72,9 +74,11 @@ def _fwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref, D_ref,
                 y_ref, h0_ref, h_scratch, *, lc: int, sub: int,
                 state_every: int, softplus: bool):
     """Forward over one (gb, d, lc) mega-chunk, iterated in ``sub``-lane
-    sub-chunks. Sub-chunking keeps the doubling-scan working set at
-    sub-chunk size (VMEM-independent of lc -> big lc amortizes grid
-    overhead) and caps the doubling depth at log2(sub) full-data passes.
+    sub-chunks. The loop is UNROLLED at trace time: a lax.fori_loop variant
+    with pl.ds lane offsets measured 27% SLOWER (90.5 vs 71.4 ms at MSMM
+    shapes) — dynamic VMEM addressing defeats Mosaic's static pipelining —
+    so mega stays capped at 4 sub-chunks (Mosaic's stack allocator keeps
+    every unrolled iteration's temporaries live; 8 iterations OOM VMEM).
     Chunk-start states are emitted every ``state_every`` lanes so the
     backward (which uses state_every-sized chunks) can recompute h."""
     j = pl.program_id(2)
@@ -89,7 +93,7 @@ def _fwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref, D_ref,
     gb, d, n = A.shape[0], A.shape[1], A.shape[2]
     At = jnp.swapaxes(A, 1, 2)                    # (gb, n, d)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (gb, n, d, sub), dimension=3)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, sub), dimension=3)
     h0 = h_scratch[:, :, :d]                      # (gb, n, d)
     Df = D_ref[...].astype(jnp.float32)           # (gb, d, 1)
 
@@ -150,7 +154,7 @@ def _bwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref, D_ref, gy_ref,
         dA_scratch[:] = jnp.zeros_like(dA_scratch)
         dDb_scratch[:] = jnp.zeros_like(dDb_scratch)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (gb, n, d, lc), dimension=3)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, lc), dimension=3)
 
     # ---- recompute within-chunk a, bx, h from the saved start state
     a = jnp.exp(dt[:, None, :, :] * At[:, :, :, None])       # (gb, n, d, Lc)
@@ -263,13 +267,10 @@ def _pick_gb(BG: int, n: int, db: int, lc: int) -> int:
     return 1
 
 
-def _prep_padded(u, delta, A, B, C, D, delta_bias, chunk_size):
-    """Pad/flatten operands. u/delta/B/C keep their input dtype (the kernels
-    upcast in VMEM); bias+softplus and the D*u term are applied in-kernel."""
-    b, g, d, L = u.shape
-    n = A.shape[-1]
-    BG = b * g
-
+def _choose_geometry(L: int, d: int, n: int, chunk_size: int):
+    """(lc, db_bwd, pad_d) for the given problem size. Shared by the
+    wrapper and by padded_scan_len so callers can pre-pad L and make the
+    wrapper's own pad/slice a no-op."""
     # Bigger chunks amortize per-grid-cell overhead (measured: lc=512 beats
     # lc=128 by ~14% at MSMM shapes); the joint (db, lc) choice keeps the
     # backward's working set inside VMEM.
@@ -283,7 +284,39 @@ def _prep_padded(u, delta, A, B, C, D, delta_bias, chunk_size):
     lc = 1 << (lc.bit_length() - 1)
     pad_d = (-d) % 8
     db, lc = _pick_db_lc(d + pad_d, n, lc)
-    pad_l = (-L) % lc
+    return lc, db, pad_d
+
+
+def padded_scan_len(L: int, d: int, n: int, chunk_size: int = 512,
+                    bg: int = 8) -> int:
+    """Smallest Lp >= L such that inputs of logical length Lp hit the
+    zero-copy path (no pad, no slice) inside selective_scan_pallas. Callers
+    (e.g. the MSMM cross-scan) append an all-zero tail up to Lp during their
+    own concat — the scan is causal so the real region is unaffected, and
+    the tail is simply never read back. Iterated to a fixpoint so the
+    wrapper's own mega choice on the padded length agrees."""
+    pad_d = (-d) % 8
+    Lp = L
+    for _ in range(5):
+        lc, _, _ = _choose_geometry(Lp, d, n, chunk_size)
+        _, _, mega, _ = _fwd_geometry(bg, d + pad_d, n, lc, Lp)
+        nxt = Lp + (-Lp) % mega
+        if nxt == Lp:
+            return Lp
+        Lp = nxt
+    return Lp
+
+
+def _prep_padded(u, delta, A, B, C, D, delta_bias, chunk_size):
+    """Pad/flatten operands. u/delta/B/C keep their input dtype (the kernels
+    upcast in VMEM); bias+softplus and the D*u term are applied in-kernel."""
+    b, g, d, L = u.shape
+    n = A.shape[-1]
+    BG = b * g
+
+    lc, db, pad_d = _choose_geometry(L, d, n, chunk_size)
+    _, _, mega, _ = _fwd_geometry(BG, d + pad_d, n, lc, L)
+    pad_l = (-L) % mega
     if pad_l or pad_d:
         u_p = jnp.pad(u, ((0, 0), (0, 0), (0, pad_d), (0, pad_l)))
         dt_p = jnp.pad(delta, ((0, 0), (0, 0), (0, pad_d), (0, pad_l)))
@@ -297,7 +330,7 @@ def _prep_padded(u, delta, A, B, C, D, delta_bias, chunk_size):
     gb = _pick_gb(BG, n, db, lc)
 
     shapes = dict(b=b, g=g, d=d, L=L, n=n, BG=BG, dp=dp, Lp=Lp, lc=lc,
-                  nchunks=nchunks, gb=gb, db=db)
+                  nchunks=nchunks, gb=gb, db=db, mega=mega)
     u_f = u_p.reshape(BG, dp, Lp)
     dt_f = dt_p.reshape(BG, dp, Lp)
     B_f = B_p.reshape(BG, n, Lp)
@@ -320,8 +353,49 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
-_FWD_SUB = 256          # doubling-scan sub-chunk (lanes)
-_FWD_MEGA_FACTOR = 4    # forward mega-chunk = factor * chunk_size
+_FWD_SUB = 128          # doubling-scan sub-chunk (lanes; 128 = one full
+                        # lane tile with the fewest doubling passes)
+_FWD_MEGA_SUBS = 4      # mega-chunk = at most 4 unrolled sub-chunks (8 OOM
+                        # VMEM; a rolled fori_loop measured 27% slower)
+
+
+def _fwd_geometry(BG: int, dp: int, n: int, lc: int, L: int):
+    """Forward-specific (gb, db, mega, sub). Unlike the backward (whose
+    doubling temporaries are lc-sized), the forward iterates its mega-chunk
+    in sub-lane sub-chunks, so its live fp32 temporaries are the unrolled
+    iterations' (gb, n, db, sub) sets — it can afford much larger d-blocks
+    / row groups than the backward. IO blocks (u/dt/B/C/y at mega lanes)
+    are double-buffered by Pallas."""
+    sub = min(_FWD_SUB, lc)
+
+    def fits(gb, db, mega):
+        # ~13 live fp32 (gb,n,db,sub) temporaries per unrolled sub-chunk
+        # iteration (doubling-scan a/b/shifts + h/y), measured against
+        # Mosaic's scoped-vmem accounting
+        temps = 13 * gb * n * db * sub * 4
+        io = 2 * gb * (2 * db * mega * 2 + 2 * n * mega * 2 + db * mega * 4)
+        states = 2 * gb * max(1, mega // lc) * db * n * 4
+        return temps + io + states <= _VMEM_BUDGET
+
+    mega_cap = max(lc, _FWD_MEGA_SUBS * sub)
+    db = 8
+    for k in range(1, dp // 8 + 1):
+        if dp % k:
+            continue
+        cand = dp // k
+        if cand % 8 == 0 and fits(1, cand, lc):
+            db = cand
+            break
+    gb = 1
+    for g_ in (8, 4, 2):
+        if BG % g_ == 0 and fits(g_, db, lc):
+            gb = g_
+            break
+    mega = lc
+    while (mega * 2 <= mega_cap and fits(gb, db, mega * 2)
+           and (-L) % (mega * 2) <= L // 8):
+        mega *= 2
+    return gb, db, mega, sub
 
 
 def _pallas_forward(u, delta, A, B, C, D, delta_bias, delta_softplus,
@@ -330,14 +404,12 @@ def _pallas_forward(u, delta, A, B, C, D, delta_bias, delta_softplus,
         u, delta, A, B, C, D, delta_bias, chunk_size)
     b, g, d, L, n = s["b"], s["g"], s["d"], s["L"], s["n"]
     BG, dp, Lp, lc = s["BG"], s["dp"], s["Lp"], s["lc"]
-    nchunks, gb, db = s["nchunks"], s["gb"], s["db"]
+    nchunks = s["nchunks"]
 
-    # forward mega-chunks: sub-chunked iteration keeps VMEM flat, so use
-    # bigger grid cells than the backward's doubling chunk
-    sub = min(_FWD_SUB, lc)
-    mega = lc * _FWD_MEGA_FACTOR
-    while mega > lc and Lp % mega:
-        mega //= 2
+    # forward mega-chunks: rolled sub-chunk iteration keeps VMEM flat, so
+    # use bigger grid cells than the backward's doubling chunk (same call
+    # as _prep_padded's, so Lp % mega == 0 holds)
+    gb, db, mega, sub = _fwd_geometry(BG, dp, n, lc, L)
     nmega = Lp // mega
     states_per_mega = mega // lc
     # alignment invariants: every lane is covered by exactly one sub-chunk
