@@ -31,7 +31,16 @@ from mlagg_unet_tpu.ops import selective_scan_auto as selective_scan
 
 
 class MambaBlock(nn.Module):
-    """mamba_ssm.Mamba equivalent. Input/output: (B, L, d_model)."""
+    """mamba_ssm.Mamba equivalent. Input/output: (B, L, d_model).
+
+    ``bimamba_type='v3'`` enables SegMamba's tri-orientated Mamba (ToM):
+    three independent causal-conv + selective-scan branches — forward,
+    backward (sequence flipped), and inter-slice (sequence re-ordered so the
+    scan walks across the ``nslices`` depth slices at each within-slice
+    position) — summed before the shared gate/out_proj. Matches the SegMamba
+    mamba_ssm fork's ``bimamba_type="v3", nslices=n`` forward (branch params
+    ``conv1d_b/x_proj_b/dt_proj_b/A_b_log/D_b`` and ``*_s``); used by
+    variants/mamba/nnUNetTrainer_SegMamba.py:119-143."""
 
     d_model: int
     d_state: int = 16
@@ -41,6 +50,8 @@ class MambaBlock(nn.Module):
     # out_proj (LKM-UNet's Bi*MambaLayers share one out_proj across the
     # forward/backward passes, nnUNetTrainer_LKM_UNet.py:163-180)
     project_out: bool = True
+    bimamba_type: Optional[str] = None
+    nslices: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -51,40 +62,65 @@ class MambaBlock(nn.Module):
         xz = nn.Dense(2 * d_inner, use_bias=False, name="in_proj")(x)
         xh, z = jnp.split(xz, 2, axis=-1)
 
-        # causal depthwise conv1d + SiLU (replaces causal_conv1d CUDA kernel)
-        xh = nn.Conv(
-            d_inner, (self.d_conv,), padding=[(self.d_conv - 1, 0)],
-            feature_group_count=d_inner, name="conv1d",
-        )(xh)
-        xh = jax.nn.silu(xh)
+        def branch(xb, suffix):
+            """causal depthwise conv1d + SiLU -> x_proj/dt_proj ->
+            selective scan, on a (possibly re-ordered) token sequence."""
+            h = nn.Conv(
+                d_inner, (self.d_conv,), padding=[(self.d_conv - 1, 0)],
+                feature_group_count=d_inner, name=f"conv1d{suffix}",
+            )(xb)
+            h = jax.nn.silu(h)
 
-        x_dbl = nn.Dense(dt_rank + 2 * self.d_state, use_bias=False,
-                         name="x_proj")(xh)
-        dt = x_dbl[..., :dt_rank]
-        Bs = x_dbl[..., dt_rank: dt_rank + self.d_state]
-        Cs = x_dbl[..., dt_rank + self.d_state:]
+            x_dbl = nn.Dense(dt_rank + 2 * self.d_state, use_bias=False,
+                             name=f"x_proj{suffix}")(h)
+            dt = x_dbl[..., :dt_rank]
+            Bs = x_dbl[..., dt_rank: dt_rank + self.d_state]
+            Cs = x_dbl[..., dt_rank + self.d_state:]
 
-        dt_w = self.param("dt_proj_weight", _dt_proj_weight_init(dt_rank),
-                          (d_inner, dt_rank), jnp.float32)
-        dt_b = self.param("dt_proj_bias", _dt_proj_bias_init(),
-                          (d_inner,), jnp.float32)
-        A_log = self.param("A_log", _a_log_init(1, d_inner, self.d_state),
-                           (1, d_inner, self.d_state), jnp.float32)
-        D = self.param("D", nn.initializers.ones, (d_inner,), jnp.float32)
+            dt_w = self.param(f"dt_proj{suffix}_weight",
+                              _dt_proj_weight_init(dt_rank),
+                              (d_inner, dt_rank), jnp.float32)
+            dt_b = self.param(f"dt_proj{suffix}_bias", _dt_proj_bias_init(),
+                              (d_inner,), jnp.float32)
+            A_log = self.param(f"A{suffix}_log",
+                               _a_log_init(1, d_inner, self.d_state),
+                               (1, d_inner, self.d_state), jnp.float32)
+            D = self.param(f"D{suffix}", nn.initializers.ones,
+                           (d_inner,), jnp.float32)
 
-        dts = jnp.einsum("bld,dr->blr", dt.astype(jnp.float32), dt_w.T)
-        # to scan layout (b, g=1, d, l)
-        u = jnp.swapaxes(xh, 1, 2)[:, None]
-        delta = jnp.swapaxes(dts, 1, 2)[:, None]
-        Bs_s = jnp.swapaxes(Bs, 1, 2)[:, None].astype(jnp.float32)
-        Cs_s = jnp.swapaxes(Cs, 1, 2)[:, None].astype(jnp.float32)
-        A = -jnp.exp(A_log)
+            dts = jnp.einsum("bld,dr->blr", dt.astype(jnp.float32), dt_w.T)
+            # to scan layout (b, g=1, d, l)
+            u = jnp.swapaxes(h, 1, 2)[:, None]
+            delta = jnp.swapaxes(dts, 1, 2)[:, None]
+            Bs_s = jnp.swapaxes(Bs, 1, 2)[:, None].astype(jnp.float32)
+            Cs_s = jnp.swapaxes(Cs, 1, 2)[:, None].astype(jnp.float32)
+            A = -jnp.exp(A_log)
 
-        y = selective_scan(
-            u, delta, A, Bs_s, Cs_s, D[None], dt_b[None],
-            delta_softplus=True,
-        )[:, 0]                                        # (B, d_inner, L)
-        y = jnp.swapaxes(y, 1, 2)                      # (B, L, d_inner)
+            y = selective_scan(
+                u, delta, A, Bs_s, Cs_s, D[None], dt_b[None],
+                delta_softplus=True,
+            )[:, 0]                                    # (B, d_inner, L)
+            return jnp.swapaxes(y, 1, 2)               # (B, L, d_inner)
+
+        y = branch(xh, "")
+        if self.bimamba_type == "v3":
+            # backward branch: scan the flipped sequence, flip back. The
+            # fork gates each branch with its own permuted z, which after
+            # un-permuting aligns with the original z — so gating once
+            # after the sum is exact.
+            y = y + branch(xh[:, ::-1], "_b")[:, ::-1]
+            ns = self.nslices
+            assert ns > 0 and L % ns == 0, (
+                f"bimamba v3 needs nslices ({ns}) dividing L ({L})")
+            # inter-slice order: token s*(L/ns)+p -> position p*ns+s
+            xs = xh.reshape(B, ns, L // ns, d_inner)
+            xs = jnp.swapaxes(xs, 1, 2).reshape(B, L, d_inner)
+            ys = branch(xs, "_s")
+            ys = ys.reshape(B, L // ns, ns, d_inner)
+            y = y + jnp.swapaxes(ys, 1, 2).reshape(B, L, d_inner)
+        elif self.bimamba_type is not None:
+            raise NotImplementedError(self.bimamba_type)
+
         y = y * jax.nn.silu(z)
         if not self.project_out:
             return y

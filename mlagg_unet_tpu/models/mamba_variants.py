@@ -23,6 +23,7 @@ from mlagg_unet_tpu.models.dynamic_unet import (
 )
 from mlagg_unet_tpu.models.layers import InstanceNorm
 from mlagg_unet_tpu.models.mamba_block import MambaBlock
+from mlagg_unet_tpu.models.unetr_blocks import UnetrBasicBlock, UnetrUpBlock
 
 
 class _TokenMamba(nn.Module):
@@ -42,40 +43,131 @@ class _TokenMamba(nn.Module):
         return (t + h).reshape(B, *spatial, C)
 
 
+class GSC(nn.Module):
+    """Gated spatial convolution (nnUNetTrainer_SegMamba.py:160-201):
+    two parallel conv paths (3x3x3 stack vs 1x1x1), summed, 1x1x1
+    projected, with an outer residual. All InstanceNorms are parameterless
+    (torch nn.InstanceNorm3d default affine=False)."""
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.ndim - 2
+        c = x.shape[-1]
+        x1 = nn.Conv(c, (3,) * d, padding=1, name="proj")(x)
+        x1 = jax.nn.relu(InstanceNorm(affine=False)(x1))
+        x1 = nn.Conv(c, (3,) * d, padding=1, name="proj2")(x1)
+        x1 = jax.nn.relu(InstanceNorm(affine=False)(x1))
+        x2 = nn.Conv(c, (1,) * d, name="proj3")(x)
+        x2 = jax.nn.relu(InstanceNorm(affine=False)(x2))
+        h = nn.Conv(c, (1,) * d, name="proj4")(x1 + x2)
+        h = jax.nn.relu(InstanceNorm(affine=False)(h))
+        return h + x
+
+
+class _SegMambaLayer(nn.Module):
+    """LN -> tri-orientated Mamba (bimamba v3) on flattened tokens, NO
+    residual (nnUNetTrainer_SegMamba.py:119-143)."""
+
+    num_slices: int
+    d_state: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        B, *spatial, C = x.shape
+        L = 1
+        for s in spatial:
+            L *= s
+        t = x.reshape(B, L, C)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm")(t)
+        h = MambaBlock(d_model=C, d_state=self.d_state, bimamba_type="v3",
+                       nslices=self.num_slices, name="mamba")(h)
+        return h.reshape(B, *spatial, C)
+
+
+class _MlpChannel(nn.Module):
+    """1x1-conv MLP with GELU (nnUNetTrainer_SegMamba.py:146-157)."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.ndim - 2
+        c = x.shape[-1]
+        h = nn.Conv(self.hidden, (1,) * d, name="fc1")(x)
+        h = jax.nn.gelu(h, approximate=False)
+        return nn.Conv(c, (1,) * d, name="fc2")(h)
+
+
+class _SegMambaEncoder(nn.Module):
+    """MambaEncoder (nnUNetTrainer_SegMamba.py:204-262): conv-7 stem,
+    IN + conv-2 downsampling between stages, per stage GSC -> depths[i]
+    MambaLayers, per-scale output head IN -> MlpChannel. num_slices per
+    stage is the reference's hardcoded [64, 32, 16, 8] (:227)."""
+
+    depths: Sequence[int]
+    dims: Sequence[int]
+    strides: Sequence[Sequence[int]]
+    num_slices_list: Sequence[int] = (64, 32, 16, 8)
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.ndim - 2
+        outs = []
+        for i in range(4):
+            if i == 0:
+                x = nn.Conv(self.dims[0], (7,) * d,
+                            strides=tuple(self.strides[0]), padding=3,
+                            name="stem")(x)
+            else:
+                x = InstanceNorm(affine=False)(x)
+                x = nn.Conv(self.dims[i], (2,) * d,
+                            strides=tuple(self.strides[i]), padding="VALID",
+                            name=f"downsample{i}")(x)
+            x = GSC(name=f"gsc{i}")(x)
+            for j in range(self.depths[i]):
+                x = _SegMambaLayer(num_slices=self.num_slices_list[i],
+                                   name=f"stage{i}_{j}")(x)
+            o = InstanceNorm(affine=False)(x)
+            outs.append(_MlpChannel(2 * self.dims[i], name=f"mlp{i}")(o))
+        return outs
+
+
 class SegMamba(nn.Module):
-    """SegMamba (nnUNetTrainer_SegMamba.py): conv stem + encoder stages each
-    followed by a tri-orientation-style Mamba block over tokens; conv decoder
-    with skips. 3D or 2D."""
+    """SegMamba (nnUNetTrainer_SegMamba.py:264-416): tri-orientated-Mamba
+    encoder (stem + GSC + ToM stages + per-scale MLP heads) feeding a
+    UNETR-style decoder (UnetrBasicBlock side branches on the raw input and
+    each scale, UnetrUpBlock upsampling, 1x1 out head). 3D, no deep
+    supervision (trainer subclasses nnUNetTrainerNoDeepSupervision).
+    Weight parity vs the reference torch net is tested in
+    tests/test_torch_parity.py::test_segmamba_forward_parity."""
 
     num_classes: int
-    features: Sequence[int] = (32, 64, 128, 256)
-    deep_supervision: bool = True
+    depths: Sequence[int] = (2, 2, 2, 2)
+    feat_size: Sequence[int] = (48, 96, 192, 384)
+    strides: Sequence[Sequence[int]] = ((1, 2, 2), (2, 2, 2), (2, 2, 2),
+                                        (2, 2, 2))
+    hidden_size: int = 768
+    num_slices_list: Sequence[int] = (64, 32, 16, 8)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         d = x.ndim - 2
-        skips = []
-        h = x
-        for i, f in enumerate(self.features):
-            stride = [1] * d if i == 0 else [2] * d
-            h = StackedConvBlocks(2, f, [3] * d, stride,
-                                  name=f"enc{i}")(h)
-            h = _TokenMamba(name=f"mamba{i}")(h)
-            skips.append(h)
-
-        ds = []
-        for i in range(len(self.features) - 2, -1, -1):
-            h = TransposedConvND(self.features[i], [2] * d,
-                                 name=f"up{i}")(h)
-            h = jnp.concatenate([h, skips[i]], axis=-1)
-            h = StackedConvBlocks(2, self.features[i], [3] * d, [1] * d,
-                                  name=f"dec{i}")(h)
-            if self.deep_supervision or i == 0:
-                ds.append(nn.Conv(self.num_classes, (1,) * d,
-                                  name=f"seg{i}")(h))
-        if not self.deep_supervision:
-            return ds[-1]
-        return ds[::-1]
+        f = self.feat_size
+        outs = _SegMambaEncoder(self.depths, f, self.strides,
+                                self.num_slices_list, name="vit")(x)
+        enc1 = UnetrBasicBlock(f[0], name="encoder1")(x)
+        enc2 = UnetrBasicBlock(f[1], name="encoder2")(outs[0])
+        enc3 = UnetrBasicBlock(f[2], name="encoder3")(outs[1])
+        enc4 = UnetrBasicBlock(f[3], name="encoder4")(outs[2])
+        enc_hidden = UnetrBasicBlock(self.hidden_size,
+                                     name="encoder5")(outs[3])
+        h = UnetrUpBlock(f[3], name="decoder5")(enc_hidden, enc4)
+        h = UnetrUpBlock(f[2], name="decoder4")(h, enc3)
+        h = UnetrUpBlock(f[1], name="decoder3")(h, enc2)
+        h = UnetrUpBlock(f[0], upsample_kernel_size=tuple(self.strides[0]),
+                         name="decoder2")(h, enc1)
+        h = UnetrBasicBlock(f[0], name="decoder1")(h)
+        return nn.Conv(self.num_classes, (1,) * d, name="out")(h)
 
 
 class _ResidualMambaLayer(nn.Module):

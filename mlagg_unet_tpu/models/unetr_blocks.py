@@ -1,47 +1,58 @@
-"""UNETR-style residual conv blocks (monai equivalents, NHWC).
+"""UNETR-style residual conv blocks (monai equivalents, NHWC/NDHWC).
 
 The flagship head uses monai's UnetrBasicBlock / UnetrUpBlock with instance
-norm and res_block=True (nnUNetTrainer_MLAgg_2D_dt_MS.py:1339-1358). These
-are faithful re-implementations: conv-norm-lrelu x2 with a 1x1 projected
-residual, and transposed-conv upsample + skip concat + res block.
+norm and res_block=True (nnUNetTrainer_MLAgg_2D_dt_MS.py:1339-1358); the
+SegMamba decoder uses the same blocks in 3D with anisotropic upsample
+strides (nnUNetTrainer_SegMamba.py:297-394). These are faithful
+re-implementations: conv-norm-lrelu x2 with a 1x1 projected residual, and
+transposed-conv upsample + skip concat + res block. The spatial rank is
+inferred from the input; kernel/stride accept ints or per-axis sequences.
 """
 from __future__ import annotations
 
+from typing import Sequence, Union
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
-from mlagg_unet_tpu.models.layers import ConvTranspose2dTorch, InstanceNorm
+from mlagg_unet_tpu.models.layers import ConvTransposeTorch, InstanceNorm
 
 
 def lrelu(x):
     return jax.nn.leaky_relu(x, 0.01)
 
 
+def _per_axis(v, d):
+    return tuple(v) if isinstance(v, (tuple, list)) else (v,) * d
+
+
 class UnetResBlock(nn.Module):
     """conv(k,s)->IN->lrelu->conv(k,1)->IN [+ 1x1/IN residual] ->lrelu."""
 
     out_channels: int
-    kernel_size: int = 3
-    stride: int = 1
+    kernel_size: Union[int, Sequence[int]] = 3
+    stride: Union[int, Sequence[int]] = 1
 
     @nn.compact
     def __call__(self, x):
+        d = x.ndim - 2
+        ks = _per_axis(self.kernel_size, d)
+        ss = _per_axis(self.stride, d)
         cin = x.shape[-1]
-        out = nn.Conv(self.out_channels,
-                      (self.kernel_size, self.kernel_size),
-                      strides=(self.stride, self.stride),
-                      padding=self.kernel_size // 2, name="conv1")(x)
+        out = nn.Conv(self.out_channels, ks, strides=ss,
+                      padding=[(k // 2, k // 2) for k in ks],
+                      name="conv1")(x)
         out = InstanceNorm(name="norm1")(out)
         out = lrelu(out)
-        out = nn.Conv(self.out_channels,
-                      (self.kernel_size, self.kernel_size),
-                      padding=self.kernel_size // 2, name="conv2")(out)
+        out = nn.Conv(self.out_channels, ks,
+                      padding=[(k // 2, k // 2) for k in ks],
+                      name="conv2")(out)
         out = InstanceNorm(name="norm2")(out)
         residual = x
-        if cin != self.out_channels or self.stride != 1:
-            residual = nn.Conv(self.out_channels, (1, 1),
-                               strides=(self.stride, self.stride),
+        if cin != self.out_channels or np.any(np.asarray(ss) != 1):
+            residual = nn.Conv(self.out_channels, (1,) * d, strides=ss,
                                name="conv3")(x)
             residual = InstanceNorm(name="norm3")(residual)
         return lrelu(out + residual)
@@ -49,8 +60,8 @@ class UnetResBlock(nn.Module):
 
 class UnetrBasicBlock(nn.Module):
     out_channels: int
-    kernel_size: int = 3
-    stride: int = 1
+    kernel_size: Union[int, Sequence[int]] = 3
+    stride: Union[int, Sequence[int]] = 1
 
     @nn.compact
     def __call__(self, x):
@@ -59,17 +70,20 @@ class UnetrBasicBlock(nn.Module):
 
 
 class UnetrUpBlock(nn.Module):
-    """transposed conv (k=2, s=2) -> concat skip -> UnetResBlock."""
+    """transposed conv (k=s=upsample_kernel_size) -> concat skip ->
+    UnetResBlock."""
 
     out_channels: int
-    kernel_size: int = 3
-    upsample_kernel_size: int = 2
+    kernel_size: Union[int, Sequence[int]] = 3
+    upsample_kernel_size: Union[int, Sequence[int]] = 2
 
     @nn.compact
     def __call__(self, x, skip):
-        up = ConvTranspose2dTorch(
-            self.out_channels, self.upsample_kernel_size,
-            self.upsample_kernel_size, 0, name="transp_conv",
+        d = x.ndim - 2
+        up = ConvTransposeTorch(
+            self.out_channels, _per_axis(self.upsample_kernel_size, d),
+            _per_axis(self.upsample_kernel_size, d), 0, spatial_dims=d,
+            name="transp_conv",
         )(x)
         out = jnp.concatenate([up, skip], axis=-1)
         return UnetResBlock(self.out_channels, self.kernel_size,

@@ -292,8 +292,14 @@ NETWORK_BUILDERS.update({
         "mlagg_unet_tpu.models.swin_unetr", "SwinUNETR", two_d_only=True),
 })
 
+# SegMamba trainer subclasses nnUNetTrainerNoDeepSupervision with AdamW
+# lr 1e-4 / wd 1e-3, timm cosine + 10-epoch warmup, 500 epochs
+# (nnUNetTrainer_SegMamba.py:16-65)
 register_trainer(replace(_default, name="nnUNetTrainer_SegMamba",
-                         network="segmamba"))
+                         network="segmamba", enable_deep_supervision=False,
+                         optimizer="adamw", initial_lr=1e-4,
+                         weight_decay=1e-3, lr_scheduler="cosine_warmup",
+                         num_epochs=500))
 register_trainer(replace(_default, name="nnUNetTrainer_LightMUNet",
                          network="lightm_unet", enable_deep_supervision=False))
 register_trainer(replace(_default, name="nnUNetTrainer_UltraLightVMUNet",

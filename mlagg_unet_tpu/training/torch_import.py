@@ -209,6 +209,51 @@ REFERENCE_SWIN_UMAMBA_D_RULES = _SWIN_UMAMBA_SHARED + [
 ]
 
 
+# U-Mamba checkpoints (variants/mamba/UMambaBot_2d.py:367-441 /
+# UMambaEnc_2d.py:421-489 and their _3d twins). Verified by
+# tests/test_torch_parity.py::test_umamba_{bot,enc}_forward_parity.
+REFERENCE_UMAMBA_RULES = [
+    (r"^decoder\.encoder\.", None),        # duplicate module registration
+    (r"^encoder\.stem\.(\d+)\.", r"stem_block\1."),
+    (r"^encoder\.stages\.(\d+)\.(\d+)\.", r"stage\1_block\2."),
+    (r"^encoder\.mamba_layers\.(\d+)\.", r"enc_mamba\1."),
+    (r"^mamba_layer\.", "bot_mamba."),
+    (r"^decoder\.upsample_layers\.(\d+)\.", r"up\1."),
+    (r"^decoder\.stages\.(\d+)\.(\d+)\.", r"dec_stage\1_block\2."),
+    (r"^decoder\.seg_layers\.(\d+)\.", r"seg\1."),
+    (r"\.(conv1|conv2)\.norm\.", r".\1.norm.GroupNorm_0."),   # BasicBlockD
+    (r"\.norm([12])\.", r".norm\1.GroupNorm_0."),             # BasicResBlock
+    (r"\.dt_proj\.weight$", ".dt_proj_weight"),
+    (r"\.dt_proj\.bias$", ".dt_proj_bias"),
+]
+
+
+# SegMamba checkpoints (variants/mamba/nnUNetTrainer_SegMamba.py:264-416:
+# MambaEncoder 'vit' + monai UnetrBasicBlock/UnetrUpBlock decoder). The
+# tri-orientated Mamba branch params (_b/_s) follow the same dt_proj
+# flattening as the main branch. Verified by
+# tests/test_torch_parity.py::test_segmamba_forward_parity.
+REFERENCE_SEGMAMBA_RULES = [
+    (r"^vit\.downsample_layers\.0\.0\.", "vit.stem."),
+    (r"^vit\.downsample_layers\.(\d+)\.1\.", r"vit.downsample\1."),
+    (r"^vit\.gscs\.(\d+)\.", r"vit.gsc\1."),
+    (r"^vit\.stages\.(\d+)\.(\d+)\.", r"vit.stage\1_\2."),
+    (r"^vit\.mlps\.(\d+)\.", r"vit.mlp\1."),
+    (r"\.dt_proj(_b|_s)?\.(weight|bias)$", r".dt_proj\1_\2"),
+    (r"^out\.conv\.conv\.", "out."),
+    (r"\.transp_conv\.conv\.", ".transp_conv."),
+    (r"\.(conv1|conv2|conv3)\.conv\.", r".\1."),
+    (r"\.(norm1|norm2|norm3)\.", r".\1.GroupNorm_0."),
+]
+
+
+def convert_reference_segmamba_state_dict(state_dict
+                                          ) -> Dict[str, np.ndarray]:
+    """torch SegMamba state_dict -> flax layout."""
+    return _convert_reference_state_dict(state_dict,
+                                         REFERENCE_SEGMAMBA_RULES)
+
+
 def _convert_reference_state_dict(state_dict, rules) -> Dict[str, np.ndarray]:
     out = {}
     for key, tensor in state_dict.items():
@@ -225,8 +270,9 @@ def _convert_reference_state_dict(state_dict, rules) -> Dict[str, np.ndarray]:
             arr = arr.reshape(4, -1, arr.shape[-1])
         elif leaf_name == "Ds":
             arr = arr.reshape(4, -1)
-        elif leaf_name == "A_log" and arr.ndim == 2:
+        elif leaf_name in ("A_log", "A_b_log", "A_s_log") and arr.ndim == 2:
             # mamba_ssm keeps (d, n); our MambaBlock holds (1, d, n)
+            # (_b/_s: SegMamba tri-orientated branches)
             arr = arr[None]
         elif key.endswith(("grn_beta", "grn_gamma")):
             # torch channels-first (1, C, 1, 1[, 1]) -> channels-last
@@ -288,6 +334,11 @@ def convert_reference_swin_umamba_state_dict(
     rules = (REFERENCE_SWIN_UMAMBA_D_RULES if d_variant
              else REFERENCE_SWIN_UMAMBA_RULES)
     return _convert_reference_state_dict(state_dict, rules)
+
+
+def convert_reference_umamba_state_dict(state_dict) -> Dict[str, np.ndarray]:
+    """torch UMambaBot/UMambaEnc state_dict -> flax layout."""
+    return _convert_reference_state_dict(state_dict, REFERENCE_UMAMBA_RULES)
 
 
 def convert_reference_msvm_state_dict(state_dict) -> Dict[str, np.ndarray]:

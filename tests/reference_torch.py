@@ -216,18 +216,25 @@ def _install_shims():
                 (nn.ConvTranspose2d if spatial_dims == 2
                  else nn.ConvTranspose3d) if is_transposed
                 else (nn.Conv2d if spatial_dims == 2 else nn.Conv3d))
-            k = kernel_size
+            # monai supports per-axis kernel/stride sequences (SegMamba's
+            # decoder2 upsamples with strides[0] == [1, 2, 2])
+            def _ax(v):
+                return tuple(v) if isinstance(v, (tuple, list)) \
+                    else (v,) * spatial_dims
+
+            ks, ss = _ax(kernel_size), _ax(stride)
+            pad = tuple((k - 1) // 2 for k in ks)
             if is_transposed:
                 # monai: padding = (k-1)//2, output_padding chosen so the
                 # output is exactly stride * input
-                pad = (k - 1) // 2
-                opad = (stride + 2 * pad - k) if output_padding is None \
-                    else output_padding
-                conv = conv_cls(in_ch, out_ch, k, stride, padding=pad,
+                opad = tuple(s + 2 * p - k
+                             for s, p, k in zip(ss, pad, ks)) \
+                    if output_padding is None else output_padding
+                conv = conv_cls(in_ch, out_ch, ks, ss, padding=pad,
                                 output_padding=opad, bias=bias)
             else:
-                conv = conv_cls(in_ch, out_ch, k, stride,
-                                padding=(k - 1) // 2, bias=bias)
+                conv = conv_cls(in_ch, out_ch, ks, ss,
+                                padding=pad, bias=bias)
             self.add_module("conv", conv)
 
     def get_conv_layer(spatial_dims, in_channels, out_channels,
@@ -560,13 +567,18 @@ def _install_dna_shims():
             return 0
 
     class BasicBlockD(nn.Module):
-        def __init__(self, conv_op, in_ch, out_ch, kernel, stride,
+        # public dynamic_network_architectures keyword names (UMamba*
+        # instantiates with input_channels=/output_channels=/kernel_size=)
+        def __init__(self, conv_op, input_channels, output_channels,
+                     kernel_size, stride,
                      conv_bias=False, norm_op=None, norm_op_kwargs=None,
                      dropout_op=None, dropout_op_kwargs=None, nonlin=None,
                      nonlin_kwargs=None, stochastic_depth_p=0.0,
                      squeeze_excitation=False,
                      squeeze_excitation_reduction_ratio=1. / 16):
             super().__init__()
+            in_ch, out_ch, kernel = input_channels, output_channels, \
+                kernel_size
             self.conv1 = ConvDropoutNormReLU(
                 conv_op, in_ch, out_ch, kernel, stride, conv_bias, norm_op,
                 norm_op_kwargs, dropout_op, dropout_op_kwargs, nonlin,
@@ -720,11 +732,14 @@ def _install_dna_shims():
 
     class Mamba(nn.Module):
         """mamba_ssm.modules.mamba_simple.Mamba param structure + the
-        use_fast_path=False forward."""
+        use_fast_path=False forward. bimamba_type='v3' adds the SegMamba
+        fork's backward (_b) and inter-slice (_s) branches (tri-orientated
+        Mamba, summed before the shared out_proj)."""
 
         def __init__(self, d_model, d_state=16, d_conv=4, expand=2,
                      dt_rank="auto", conv_bias=True, bias=False,
-                     use_fast_path=True, layer_idx=None, **kw):
+                     use_fast_path=True, layer_idx=None, bimamba_type=None,
+                     nslices=None, **kw):
             super().__init__()
             self.d_model = d_model
             self.d_state = d_state
@@ -732,6 +747,8 @@ def _install_dna_shims():
             self.d_inner = int(expand * d_model)
             self.dt_rank = math.ceil(d_model / 16) if dt_rank == "auto" \
                 else dt_rank
+            self.bimamba_type = bimamba_type
+            self.nslices = nslices
             self.in_proj = nn.Linear(d_model, 2 * self.d_inner, bias=bias)
             self.conv1d = nn.Conv1d(self.d_inner, self.d_inner, d_conv,
                                     groups=self.d_inner, padding=d_conv - 1,
@@ -744,21 +761,54 @@ def _install_dna_shims():
             self.A_log = nn.Parameter(torch.log(A))
             self.D = nn.Parameter(torch.ones(self.d_inner))
             self.out_proj = nn.Linear(self.d_inner, d_model, bias=bias)
+            if bimamba_type == "v3":
+                for sfx in ("b", "s"):
+                    setattr(self, f"conv1d_{sfx}",
+                            nn.Conv1d(self.d_inner, self.d_inner, d_conv,
+                                      groups=self.d_inner,
+                                      padding=d_conv - 1, bias=conv_bias))
+                    setattr(self, f"x_proj_{sfx}",
+                            nn.Linear(self.d_inner,
+                                      self.dt_rank + 2 * d_state,
+                                      bias=False))
+                    setattr(self, f"dt_proj_{sfx}",
+                            nn.Linear(self.dt_rank, self.d_inner, bias=True))
+                    setattr(self, f"A_{sfx}_log",
+                            nn.Parameter(torch.log(A.clone())))
+                    setattr(self, f"D_{sfx}",
+                            nn.Parameter(torch.ones(self.d_inner)))
+
+        def _branch(self, x, z, conv1d, x_proj, dt_proj, A_log, D):
+            L = x.shape[-1]
+            x = F.silu(conv1d(x)[..., :L])
+            x_dbl = x_proj(x.transpose(1, 2))                 # (B, L, R+2N)
+            dt, Bs, Cs = torch.split(
+                x_dbl, [self.dt_rank, self.d_state, self.d_state], dim=-1)
+            dt = torch.einsum("blr,dr->bdl", dt, dt_proj.weight)
+            A = -torch.exp(A_log.float())
+            return sel_fn(x, dt, A, Bs.transpose(1, 2).unsqueeze(1),
+                          Cs.transpose(1, 2).unsqueeze(1), D=D,
+                          z=z, delta_bias=dt_proj.bias,
+                          delta_softplus=True)
 
         def forward(self, hidden_states):
             B_, L, _ = hidden_states.shape
             xz = self.in_proj(hidden_states).transpose(1, 2)  # (B, 2D, L)
             x, z = xz.chunk(2, dim=1)
-            x = F.silu(self.conv1d(x)[..., :L])
-            x_dbl = self.x_proj(x.transpose(1, 2))            # (B, L, R+2N)
-            dt, Bs, Cs = torch.split(
-                x_dbl, [self.dt_rank, self.d_state, self.d_state], dim=-1)
-            dt = torch.einsum("blr,dr->bdl", dt, self.dt_proj.weight)
-            A = -torch.exp(self.A_log.float())
-            y = sel_fn(x, dt, A, Bs.transpose(1, 2).unsqueeze(1),
-                       Cs.transpose(1, 2).unsqueeze(1), D=self.D,
-                       z=z, delta_bias=self.dt_proj.bias,
-                       delta_softplus=True)
+            y = self._branch(x, z, self.conv1d, self.x_proj, self.dt_proj,
+                             self.A_log, self.D)
+            if self.bimamba_type == "v3":
+                y_b = self._branch(x.flip(-1), z.flip(-1), self.conv1d_b,
+                                   self.x_proj_b, self.dt_proj_b,
+                                   self.A_b_log, self.D_b).flip(-1)
+                ns = self.nslices
+                x_s = torch.stack(x.chunk(ns, dim=-1), dim=-1).flatten(-2)
+                z_s = torch.stack(z.chunk(ns, dim=-1), dim=-1).flatten(-2)
+                y_s = self._branch(x_s, z_s, self.conv1d_s, self.x_proj_s,
+                                   self.dt_proj_s, self.A_s_log, self.D_s)
+                y_s = y_s.reshape(B_, self.d_inner, L // ns, ns
+                                  ).transpose(-1, -2).flatten(-2)
+                y = y + y_b + y_s
             return self.out_proj(y.transpose(1, 2).to(hidden_states.dtype))
 
     mamba_mod.Mamba = Mamba
@@ -820,4 +870,55 @@ def load_reference_lkm():
     mod.__file__ = str(LKM)
     exec(compile(src[start:end], str(LKM), "exec"), mod.__dict__)
     _cache["lkm"] = mod
+    return mod
+
+
+UMAMBA_DIR = REF_DIR / "variants/mamba"
+
+
+def load_reference_umamba(which: str):
+    """Exec a reference U-Mamba net file (UMambaBot_2d/3d.py or
+    UMambaEnc_2d/3d.py) up to its nnunetv2-dependent get_*_from_plans,
+    with dynamic_network_architectures + mamba_ssm.Mamba shims.
+    ``which`` in {'bot_2d', 'bot_3d', 'enc_2d', 'enc_3d'}."""
+    key = f"umamba_{which}"
+    if key in _cache:
+        return _cache[key]
+    _install_dna_shims()
+
+    path = UMAMBA_DIR / f"UMamba{which[:3].capitalize()}_{which[-2:]}.py"
+    src = path.read_text()
+    for line in (
+        "from nnunetv2.utilities.plans_handling.plans_handler import "
+        "ConfigurationManager, PlansManager",
+        "from nnunetv2.utilities.network_initialization import "
+        "InitWeights_He",
+    ):
+        src = src.replace(line, "")
+    src = src[: src.index("def get_umamba_")]
+    mod = types.ModuleType(f"ref_{key}")
+    mod.__file__ = str(path)
+    exec(compile(src, str(path), "exec"), mod.__dict__)
+    _cache[key] = mod
+    return mod
+
+
+SEGMAMBA = UMAMBA_DIR / "nnUNetTrainer_SegMamba.py"
+
+
+def load_reference_segmamba():
+    """Exec the reference SegMamba model section (everything from the MONAI
+    copyright header down: LayerNorm/MambaLayer/GSC/MambaEncoder/SegMamba),
+    skipping the nnunetv2-dependent trainer class above it. Uses the
+    mamba_ssm shim's bimamba_type='v3' tri-orientated branches."""
+    if "segmamba" in _cache:
+        return _cache["segmamba"]
+    _install_dna_shims()
+
+    src = SEGMAMBA.read_text()
+    src = src[src.index("# Copyright (c) MONAI"):]
+    mod = types.ModuleType("ref_segmamba")
+    mod.__file__ = str(SEGMAMBA)
+    exec(compile(src, str(SEGMAMBA), "exec"), mod.__dict__)
+    _cache["segmamba"] = mod
     return mod

@@ -615,3 +615,197 @@ def test_swin_umamba_d_forward_parity():
         rel = np.abs(np.asarray(got) - ref_np).max() / (
             np.abs(ref_np).max() + 1e-8)
         assert rel < 2e-3, f"SwinUMambaD DS output {i}: rel err {rel}"
+
+
+def _umamba_ref_kwargs():
+    import torch.nn as nn
+    return dict(conv_bias=True, norm_op=nn.InstanceNorm2d,
+                norm_op_kwargs={"eps": 1e-5, "affine": True},
+                nonlin=nn.LeakyReLU, nonlin_kwargs={"inplace": True},
+                deep_supervision=True)
+
+
+def _umamba_parity(net, model, x_np, label):
+    import jax.numpy as jnp
+    import torch
+
+    net.eval()
+    from mlagg_unet_tpu.training.torch_import import (
+        convert_reference_umamba_state_dict,
+    )
+    converted = {tuple(k.split("/")): v for k, v in
+                 convert_reference_umamba_state_dict(
+                     net.state_dict()).items()}
+    new_params = _load_params_strict(model, x_np, converted)
+    perm = (0, len(x_np.shape) - 1) + tuple(range(1, len(x_np.shape) - 1))
+    with torch.no_grad():
+        refs = net(torch.from_numpy(np.transpose(x_np, perm)))
+    outs = model.apply({"params": new_params}, jnp.asarray(x_np))
+    assert len(outs) == len(refs)
+    inv = (0,) + tuple(range(2, len(x_np.shape))) + (1,)
+    for i, (got, ref) in enumerate(zip(outs, refs)):
+        ref_np = np.transpose(ref.numpy(), inv)
+        assert got.shape == ref_np.shape, (i, got.shape, ref_np.shape)
+        rel = np.abs(np.asarray(got) - ref_np).max() / (
+            np.abs(ref_np).max() + 1e-8)
+        assert rel < 2e-3, f"{label} DS output {i}: rel err {rel}"
+
+
+def test_umamba_bot_forward_parity():
+    """UMambaBot 2D (reference UMambaBot_2d.py:367-441): residual encoder
+    with BasicResBlock stem/stages, LN->Mamba (no residual) on the
+    bottleneck skip, nearest+1x1 upsample decoder, blocks-halving rule."""
+    import torch
+    import torch.nn as nn
+
+    from mlagg_unet_tpu.models.umamba import UMambaUNet
+
+    m = rt.load_reference_umamba("bot_2d")
+    torch.manual_seed(0)
+    net = m.UMambaBot(input_channels=2, n_stages=4,
+                      features_per_stage=(8, 16, 32, 64), conv_op=nn.Conv2d,
+                      kernel_sizes=[(3, 3)] * 4,
+                      strides=[(1, 1), (2, 2), (2, 2), (2, 2)],
+                      n_conv_per_stage=[2, 2, 2, 2], num_classes=3,
+                      n_conv_per_stage_decoder=[2, 2, 2],
+                      **_umamba_ref_kwargs())
+    model = UMambaUNet(num_classes=3, n_stages=4,
+                       features_per_stage=(8, 16, 32, 64),
+                       conv_kernel_sizes=((3, 3),) * 4,
+                       pool_op_kernel_sizes=((1, 1), (2, 2), (2, 2), (2, 2)),
+                       n_conv_per_stage_encoder=(2, 2, 2, 2),
+                       n_conv_per_stage_decoder=(2, 2, 2),
+                       deep_supervision=True, mamba_mode="bot")
+    x_np = np.random.RandomState(3).randn(1, 40, 48, 2).astype(np.float32)
+    _umamba_parity(net, model, x_np, "UMambaBot")
+
+
+def test_umamba_bot_3d_forward_parity():
+    """UMambaBot 3D (UMambaBot_3d.py, same code with Conv3d)."""
+    import torch
+    import torch.nn as nn
+
+    from mlagg_unet_tpu.models.umamba import UMambaUNet
+
+    m = rt.load_reference_umamba("bot_3d")
+    torch.manual_seed(0)
+    kw = _umamba_ref_kwargs()
+    kw["norm_op"] = nn.InstanceNorm3d
+    net = m.UMambaBot(input_channels=1, n_stages=3,
+                      features_per_stage=(4, 8, 16), conv_op=nn.Conv3d,
+                      kernel_sizes=[(3, 3, 3)] * 3,
+                      strides=[(1, 1, 1), (2, 2, 2), (1, 2, 2)],
+                      n_conv_per_stage=[2, 2, 2], num_classes=2,
+                      n_conv_per_stage_decoder=[2, 2], **kw)
+    model = UMambaUNet(num_classes=2, n_stages=3,
+                       features_per_stage=(4, 8, 16),
+                       conv_kernel_sizes=((3, 3, 3),) * 3,
+                       pool_op_kernel_sizes=((1, 1, 1), (2, 2, 2),
+                                             (1, 2, 2)),
+                       n_conv_per_stage_encoder=(2, 2, 2),
+                       n_conv_per_stage_decoder=(2, 2),
+                       deep_supervision=True, mamba_mode="bot")
+    x_np = np.random.RandomState(5).randn(1, 8, 16, 16, 1).astype(np.float32)
+    _umamba_parity(net, model, x_np, "UMambaBot3D")
+
+
+def test_umamba_enc_forward_parity():
+    """UMambaEnc 2D (UMambaEnc_2d.py:421-489): per-stage Mamba placement
+    bool(s%2)^bool(n%2) and the channel-token mode (tokens=channels,
+    d_model=flattened spatial) on the deepest stage."""
+    import torch
+    import torch.nn as nn
+
+    from mlagg_unet_tpu.models.umamba import UMambaUNet
+
+    m = rt.load_reference_umamba("enc_2d")
+    torch.manual_seed(0)
+    net = m.UMambaEnc(input_size=(40, 48), input_channels=2, n_stages=4,
+                      features_per_stage=(8, 16, 32, 64), conv_op=nn.Conv2d,
+                      kernel_sizes=[(3, 3)] * 4,
+                      strides=[(1, 1), (2, 2), (2, 2), (2, 2)],
+                      n_conv_per_stage=[2, 2, 2, 2], num_classes=3,
+                      n_conv_per_stage_decoder=[2, 2, 2],
+                      **_umamba_ref_kwargs())
+    # stage feature-map estimates: 40x48, 20x24, 10x12, 5x6 -> prod 30 <=
+    # 64 at stage 3 => channel-token there; mamba on stages 1 and 3
+    model = UMambaUNet(num_classes=3, n_stages=4,
+                       features_per_stage=(8, 16, 32, 64),
+                       conv_kernel_sizes=((3, 3),) * 4,
+                       pool_op_kernel_sizes=((1, 1), (2, 2), (2, 2), (2, 2)),
+                       n_conv_per_stage_encoder=(2, 2, 2, 2),
+                       n_conv_per_stage_decoder=(2, 2, 2),
+                       deep_supervision=True, mamba_mode="enc",
+                       input_size=(40, 48))
+    x_np = np.random.RandomState(7).randn(1, 40, 48, 2).astype(np.float32)
+    _umamba_parity(net, model, x_np, "UMambaEnc")
+
+
+def test_umamba_enc_3d_forward_parity():
+    """UMambaEnc 3D (UMambaEnc_3d.py): MambaLayer after EVERY stage
+    (:257, no alternating rule) and all-stage skip concat (:341)."""
+    import torch
+    import torch.nn as nn
+
+    from mlagg_unet_tpu.models.umamba import UMambaUNet
+
+    m = rt.load_reference_umamba("enc_3d")
+    torch.manual_seed(0)
+    kw = _umamba_ref_kwargs()
+    kw["norm_op"] = nn.InstanceNorm3d
+    net = m.UMambaEnc(input_size=(8, 16, 16), input_channels=1, n_stages=3,
+                      features_per_stage=(4, 8, 16), conv_op=nn.Conv3d,
+                      kernel_sizes=[(3, 3, 3)] * 3,
+                      strides=[(1, 1, 1), (2, 2, 2), (1, 2, 2)],
+                      n_conv_per_stage=[2, 2, 2], num_classes=2,
+                      n_conv_per_stage_decoder=[2, 2], **kw)
+    model = UMambaUNet(num_classes=2, n_stages=3,
+                       features_per_stage=(4, 8, 16),
+                       conv_kernel_sizes=((3, 3, 3),) * 3,
+                       pool_op_kernel_sizes=((1, 1, 1), (2, 2, 2),
+                                             (1, 2, 2)),
+                       n_conv_per_stage_encoder=(2, 2, 2),
+                       n_conv_per_stage_decoder=(2, 2),
+                       deep_supervision=True, mamba_mode="enc",
+                       input_size=(8, 16, 16))
+    x_np = np.random.RandomState(9).randn(1, 8, 16, 16, 1).astype(np.float32)
+    _umamba_parity(net, model, x_np, "UMambaEnc3D")
+
+
+def test_segmamba_forward_parity():
+    """SegMamba (nnUNetTrainer_SegMamba.py:264-416): tri-orientated Mamba
+    (bimamba v3: forward + backward + inter-slice scans) encoder with GSC
+    blocks and per-scale MLP heads, UNETR decoder, no deep supervision.
+    Exercises the hardcoded num_slices_list [64,32,16,8] at a (64,16,16)
+    patch where every stage's token count is divisible."""
+    import torch
+
+    from mlagg_unet_tpu.models.mamba_variants import SegMamba
+    from mlagg_unet_tpu.training.torch_import import (
+        convert_reference_segmamba_state_dict,
+    )
+
+    m = rt.load_reference_segmamba()
+    torch.manual_seed(0)
+    net = m.SegMamba(in_chans=1, out_chans=2, depths=[1, 1, 1, 1],
+                     feat_size=[6, 12, 24, 48], hidden_size=32)
+    net.eval()
+    model = SegMamba(num_classes=2, depths=(1, 1, 1, 1),
+                     feat_size=(6, 12, 24, 48), hidden_size=32)
+
+    converted = {tuple(k.split("/")): v for k, v in
+                 convert_reference_segmamba_state_dict(
+                     net.state_dict()).items()}
+    x_np = np.random.RandomState(11).randn(1, 64, 16, 16, 1
+                                           ).astype(np.float32)
+    new_params = _load_params_strict(model, x_np, converted)
+
+    import jax.numpy as jnp
+    with torch.no_grad():
+        ref = net(torch.from_numpy(np.transpose(x_np, (0, 4, 1, 2, 3))))
+    got = model.apply({"params": new_params}, jnp.asarray(x_np))
+    ref_np = np.transpose(ref.numpy(), (0, 2, 3, 4, 1))
+    assert got.shape == ref_np.shape, (got.shape, ref_np.shape)
+    rel = np.abs(np.asarray(got) - ref_np).max() / (
+        np.abs(ref_np).max() + 1e-8)
+    assert rel < 2e-3, f"SegMamba output: rel err {rel}"

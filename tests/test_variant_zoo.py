@@ -12,21 +12,18 @@ def _run(module, x):
     return module.apply(v, x)
 
 
-def test_segmamba_2d(rng):
-    from mlagg_unet_tpu.models.mamba_variants import SegMamba
-
-    m = SegMamba(num_classes=3, features=(8, 16, 32), deep_supervision=True)
-    outs = _run(m, jnp.asarray(rng.randn(1, 16, 16, 1).astype(np.float32)))
-    assert outs[0].shape == (1, 16, 16, 3)
-    assert outs[1].shape == (1, 8, 8, 3)
-
-
 def test_segmamba_3d(rng):
+    """Faithful SegMamba (3D, tri-orientated Mamba, UNETR decoder, no DS).
+    num_slices_list shrunk so every stage's token count divides; the
+    reference's hardcoded [64,32,16,8] is exercised by the torch-parity
+    test at a (64,16,16) patch."""
     from mlagg_unet_tpu.models.mamba_variants import SegMamba
 
-    m = SegMamba(num_classes=2, features=(4, 8, 16), deep_supervision=False)
-    out = _run(m, jnp.asarray(rng.randn(1, 8, 8, 8, 1).astype(np.float32)))
-    assert out.shape == (1, 8, 8, 8, 2)
+    m = SegMamba(num_classes=2, depths=(1, 1, 1, 1), feat_size=(4, 8, 8, 8),
+                 hidden_size=8, num_slices_list=(8, 4, 2, 1))
+    out = _run(m, jnp.asarray(rng.randn(1, 8, 16, 16, 1).astype(np.float32)))
+    assert out.shape == (1, 8, 16, 16, 2)
+    assert bool(jnp.all(jnp.isfinite(out)))
 
 
 def test_lightm_unet(rng):
