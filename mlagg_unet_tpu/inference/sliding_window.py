@@ -472,8 +472,15 @@ class VolumePredictor:
     def predict_device(self, data: np.ndarray):
         """Async variant: returns (device logits (*vol, K), bounds, z_mode)
         WITHOUT forcing a host transfer — lets callers pipeline multiple
-        volumes (dispatch all, then fetch)."""
-        return self._run(data)
+        volumes (dispatch all, then fetch). The device->host copy is
+        started asynchronously (it runs as soon as the compute finishes,
+        overlapping the next volume's compute; measured 0.65-0.8 s per
+        ACDC-like volume when fetched synchronously through the tunnel)."""
+        result = self._run(data)
+        logits = result[0]
+        if hasattr(logits, "copy_to_host_async"):
+            logits.copy_to_host_async()
+        return result
 
     def __call__(self, data: np.ndarray) -> np.ndarray:
         """data: (c, *spatial) host array -> fp32 logits (K, *spatial)."""

@@ -28,8 +28,8 @@ from mlagg_unet_tpu.models.layers import (
     InstanceNorm,
 )
 from mlagg_unet_tpu.ops.cross_scan import (
-    cross_merge_multiscale_tokens,
-    cross_scan_multiscale,
+    cross_merge_multiscale_tokens_2dir,
+    cross_scan_multiscale_2dir,
 )
 from mlagg_unet_tpu.ops import selective_scan_auto as selective_scan
 from mlagg_unet_tpu.ops.selective_scan_pallas import padded_scan_len
@@ -105,11 +105,17 @@ class SS2DSkip(nn.Module):
             feats.append(jax.nn.silu(h))
 
         # pre-pad L to the scan kernel's chunk geometry so its own pad and
-        # un-pad slice (two full-tensor HBM copies at MSMM sizes) vanish
+        # un-pad slice (two full-tensor HBM copies at MSMM sizes) vanish.
+        # Only the TWO un-reversed layouts are materialized: directions 2/3
+        # are the same sequences scanned right-to-left, which the Pallas
+        # kernel does natively (reverse=True index maps) — the reference's
+        # per-scale flip copies (MambaSkip.py:414-422) vanish entirely.
         l_real = sum(x.shape[1] * x.shape[2] for x in feats)
-        xs_cat, l_split = cross_scan_multiscale(
-            feats, pad_to=padded_scan_len(l_real, d_inner, self.d_state))
-        L = xs_cat.shape[-1]
+        pad_to = padded_scan_len(l_real, d_inner, self.d_state)
+        xs_fwd, l_split = cross_scan_multiscale_2dir(feats, pad_to=pad_to)
+        xs_rev, _ = cross_scan_multiscale_2dir(feats, pad_to=pad_to,
+                                               reverse_scales=True)
+        L = xs_fwd.shape[-1]
 
         x_proj_weight = self.param(
             "x_proj_weight", nn.initializers.lecun_normal(),
@@ -133,28 +139,35 @@ class SS2DSkip(nn.Module):
         # fp32 at the selective-scan boundary (MambaSkip.py:443-448); we do
         # the same in the model compute dtype — the Pallas kernel upcasts
         # its operands to fp32 in VMEM.
-        cdt = xs_cat.dtype
-        x_dbl = jnp.einsum(
-            "bkdl,kcd->bkcl", xs_cat, x_proj_weight.astype(cdt),
-            preferred_element_type=cdt,
-        )
-        dts = x_dbl[:, :, :dt_rank]
-        Bs = x_dbl[:, :, dt_rank: dt_rank + self.d_state]
-        Cs = x_dbl[:, :, dt_rank + self.d_state:]
-        dts = jnp.einsum(
-            "bkrl,kdr->bkdl", dts, dt_projs_weight.astype(cdt),
-            preferred_element_type=cdt,
-        )
-
+        cdt = xs_fwd.dtype
         A = -jnp.exp(A_logs)                                 # (K, Din, N)
-        out_y = selective_scan(
-            xs_cat, dts, A, Bs, Cs, Ds, dt_projs_bias, delta_softplus=True,
-        )                                                    # (B,4,Din,Lcat) fp32
+
+        def project_and_scan(xs, k_slice, reverse):
+            x_dbl = jnp.einsum(
+                "bkdl,kcd->bkcl", xs, x_proj_weight[k_slice].astype(cdt),
+                preferred_element_type=cdt,
+            )
+            dts = x_dbl[:, :, :dt_rank]
+            Bs = x_dbl[:, :, dt_rank: dt_rank + self.d_state]
+            Cs = x_dbl[:, :, dt_rank + self.d_state:]
+            dts = jnp.einsum(
+                "bkrl,kdr->bkdl", dts, dt_projs_weight[k_slice].astype(cdt),
+                preferred_element_type=cdt,
+            )
+            return selective_scan(
+                xs, dts, A[k_slice], Bs, Cs, Ds[k_slice],
+                dt_projs_bias[k_slice], delta_softplus=True,
+                reverse=reverse,
+            )                                                # (B,2,Din,L) fp32
+
+        out_fwd = project_and_scan(xs_fwd, slice(0, 2), False)
+        out_rev = project_and_scan(xs_rev, slice(2, 4), True)
 
         # per-scale token tensors: LN/out_proj are token-pointwise, so
         # applying them per scale is exact and skips the full-length fp32
         # re-concat + (B,C,L)->(B,L,C) swap of a merged tensor
-        y_scales = cross_merge_multiscale_tokens(out_y, shapes, l_split)
+        y_scales = cross_merge_multiscale_tokens_2dir(
+            out_fwd, out_rev, shapes, l_split)
         # LN in fp32 (autocast semantics), then back to the compute dtype
         # for the projection (reference out_proj runs in fp16 under AMP)
         out_norm = nn.LayerNorm(name="out_norm")

@@ -73,6 +73,75 @@ def cross_scan_multiscale(
     return jnp.concatenate(parts, axis=-1), l_split
 
 
+def _dirs01(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Row-major and column-major layouts of (B, H, W, C) — the two
+    UN-reversed scan orders. Directions 2/3 are their time reversals and
+    are handled by the scan kernel's reverse=True index maps instead of
+    explicit flip copies."""
+    B, H, W, C = x.shape
+    d0 = jnp.transpose(x, (0, 3, 1, 2)).reshape(B, C, H * W)
+    d1 = jnp.transpose(x, (0, 3, 2, 1)).reshape(B, C, H * W)
+    return d0, d1
+
+
+def cross_scan_multiscale_2dir(
+    xs: Sequence[jnp.ndarray], pad_to: int = 0,
+    reverse_scales: bool = False,
+) -> Tuple[jnp.ndarray, List[int]]:
+    """Two-layout variant of cross_scan_multiscale for kernel-folded
+    direction reversal: returns ((B, 2, C, L_cat), [L_i]) holding only the
+    row-major / col-major layouts per scale.
+
+    reverse_scales=True concatenates the scales in REVERSED order: scanning
+    that layout right-to-left (selective_scan reverse=True) visits scale 0
+    first, each scale's tokens in reversed order — exactly the reference's
+    direction-2/3 sequences (per-scale flips, scale order unchanged;
+    MambaSkip.py:414-422) — with zero flip copies. The zero pad tail stays
+    at the right end: the reverse kernel scans it first and it contributes
+    zero state to the real region."""
+    parts = [_dirs01(x) for x in xs]
+    l_split = [x.shape[1] * x.shape[2] for x in xs]
+    order = range(len(xs) - 1, -1, -1) if reverse_scales else range(len(xs))
+    stacked = [jnp.stack(parts[i], axis=1) for i in order]   # (B,2,C,L_i)
+    l_cat = sum(l_split)
+    if pad_to > l_cat:
+        B, K, C, _ = stacked[0].shape
+        stacked.append(jnp.zeros((B, K, C, pad_to - l_cat),
+                                 stacked[0].dtype))
+    return jnp.concatenate(stacked, axis=-1), l_split
+
+
+def cross_merge_multiscale_tokens_2dir(
+    y_fwd: jnp.ndarray, y_rev: jnp.ndarray,
+    shapes: Sequence[Tuple[int, int]], l_split: Sequence[int],
+) -> List[jnp.ndarray]:
+    """Merge for the 2-layout scheme: y_fwd holds directions 0/1 in the
+    forward scale order, y_rev directions 2/3 in reversed scale order with
+    outputs already in natural storage order (the reverse kernel writes
+    y at the original positions). Per scale: sum the two row-major rows
+    with the two un-transposed col-major rows. Returns [(B, L_i, C)]."""
+    B, _, C, _ = y_fwd.shape
+    off_f = [0]
+    for l in l_split:
+        off_f.append(off_f[-1] + l)
+    off_r_end = [0]
+    for l in reversed(l_split):
+        off_r_end.append(off_r_end[-1] + l)
+    # scale i sits at offset sum(l_split[i+1:]) in the reversed concat
+    n_sc = len(l_split)
+    out = []
+    for i, (H, W) in enumerate(shapes):
+        sf = slice(off_f[i], off_f[i + 1])
+        r0 = off_r_end[n_sc - 1 - i]
+        sr = slice(r0, r0 + l_split[i])
+        row = y_fwd[:, 0, :, sf] + y_rev[:, 0, :, sr]        # (B, C, L_i)
+        col = y_fwd[:, 1, :, sf] + y_rev[:, 1, :, sr]
+        col = jnp.transpose(col.reshape(B, C, W, H), (0, 1, 3, 2)
+                            ).reshape(B, C, H * W)
+        out.append(jnp.swapaxes(row + col, 1, 2))            # (B, L_i, C)
+    return out
+
+
 def cross_merge_multiscale_tokens(
     ys: jnp.ndarray, shapes: Sequence[Tuple[int, int]], l_split: Sequence[int]
 ) -> List[jnp.ndarray]:

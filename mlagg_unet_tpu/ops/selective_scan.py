@@ -115,7 +115,8 @@ def _chunk_scan(h0, u_c, delta_c, B_c, C_c, A):
     return h[:, :, :, -1, :], y_c
 
 
-@partial(jax.jit, static_argnames=("delta_softplus", "chunk_size"))
+@partial(jax.jit, static_argnames=("delta_softplus", "chunk_size",
+                                   "reverse"))
 def selective_scan(
     u: jnp.ndarray,
     delta: jnp.ndarray,
@@ -126,12 +127,21 @@ def selective_scan(
     delta_bias: Optional[jnp.ndarray] = None,
     delta_softplus: bool = False,
     chunk_size: int = 256,
+    reverse: bool = False,
 ) -> jnp.ndarray:
     """Chunked associative-scan selective scan (production path).
 
     u, delta: (b, g, d, l); A: (g, d, n) (negative); B, C: (b, g, n, l);
     D: (g, d) or None; delta_bias: (g, d) or None. Returns fp32 (b, g, d, l).
+    reverse=True scans right-to-left in natural storage order (defined as
+    flip -> scan -> flip; the Pallas kernel folds the flips into its index
+    maps, this XLA fallback performs them explicitly).
     """
+    if reverse:
+        y = selective_scan(u[..., ::-1], delta[..., ::-1], A, B[..., ::-1],
+                           C[..., ::-1], D, delta_bias, delta_softplus,
+                           chunk_size)
+        return y[..., ::-1]
     u, delta, A, B, C, D = _prep(u, delta, A, B, C, D, delta_bias, delta_softplus)
     b, g, d, l = u.shape
     n = A.shape[-1]

@@ -46,17 +46,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _doubling_scan(a, b, lane, lc):
+def _doubling_scan(a, b, lane, lc, reverse: bool = False):
     """Cumulative first-order scan along the last (lane) axis:
     returns (a_cum, b_cum) with b_cum_k = sum_j (prod_{i>j..k} a_i) b_j and
     a_cum_k = prod_{0..k} a_i. ``lane`` is a (1, 1, 1, lc) iota — the mask
     compare is one replicated lane row, broadcast by the selects, instead of
-    a full-array op per pass."""
+    a full-array op per pass. reverse=True computes the mirrored (suffix)
+    scan — the right-to-left recurrence used for time-reversed scan
+    directions — at identical op count (rolls wrap the other way, masks
+    mirror)."""
     shift = 1
     while shift < lc:
-        a_sh = pltpu.roll(a, shift, axis=3)
-        b_sh = pltpu.roll(b, shift, axis=3)
-        valid = lane >= shift
+        a_sh = pltpu.roll(a, lc - shift if reverse else shift, axis=3)
+        b_sh = pltpu.roll(b, lc - shift if reverse else shift, axis=3)
+        valid = lane < lc - shift if reverse else lane >= shift
         b = jnp.where(valid, b + a * b_sh, b)
         a = jnp.where(valid, a * a_sh, a)
         shift *= 2
@@ -72,7 +75,7 @@ def _load_dt(dt_ref, bias_ref, softplus: bool):
 
 def _fwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref, D_ref,
                 y_ref, h0_ref, h_scratch, *, lc: int, sub: int,
-                state_every: int, softplus: bool):
+                state_every: int, softplus: bool, reverse: bool = False):
     """Forward over one (gb, d, lc) mega-chunk, iterated in ``sub``-lane
     sub-chunks. The loop is UNROLLED at trace time: a lax.fori_loop variant
     with pl.ds lane offsets measured 27% SLOWER (90.5 vs 71.4 ms at MSMM
@@ -80,7 +83,15 @@ def _fwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref, D_ref,
     so mega stays capped at 4 sub-chunks (Mosaic's stack allocator keeps
     every unrolled iteration's temporaries live; 8 iterations OOM VMEM).
     Chunk-start states are emitted every ``state_every`` lanes so the
-    backward (which uses state_every-sized chunks) can recompute h."""
+    backward (which uses state_every-sized chunks) can recompute h.
+
+    reverse=True runs the time-REVERSED recurrence (h_t = a_t h_{t+1} +
+    b_t) on natural-order storage: sub-chunks iterate right-to-left, the
+    doubling mirrors, and the emitted restart states are the states at each
+    lc-chunk's RIGHT edge. The L-axis grid is iterated back-to-front by the
+    caller's index maps. This replaces the cross-scan's explicit sequence
+    flips for VMamba directions 2/3 (ops/cross_scan.py) — identical math,
+    zero flip copies."""
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -97,13 +108,18 @@ def _fwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref, D_ref,
     h0 = h_scratch[:, :, :d]                      # (gb, n, d)
     Df = D_ref[...].astype(jnp.float32)           # (gb, d, 1)
 
+    subs = range(lc // sub)
+    if reverse:
+        subs = reversed(list(subs))
     # slice refs per sub-chunk so only (.., sub)-sized fp32 values are live
-    for s in range(lc // sub):
+    for s in subs:
         sl = slice(s * sub, (s + 1) * sub)
-        if (s * sub) % state_every == 0:
+        edge = (s * sub) if not reverse else (s * sub + sub - 1)
+        if (edge % state_every == 0 if not reverse
+                else (edge + 1) % state_every == 0):
             # stored (gb, db, n): db on the sublane axis keeps the block
             # legal for any 8-multiple db (n == full array dim on lanes)
-            h0_ref[:, (s * sub) // state_every] = jnp.swapaxes(
+            h0_ref[:, edge // state_every] = jnp.swapaxes(
                 h0, 1, 2).astype(h0_ref.dtype)
         dt_s = dt_ref[:, :, sl].astype(jnp.float32) + bias
         if softplus:
@@ -114,12 +130,12 @@ def _fwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref, D_ref,
 
         a = jnp.exp(dt_s[:, None, :, :] * At[:, :, :, None])
         bx = (dt_s * u_s)[:, None, :, :] * Bm[:, :, None, :]
-        a_cum, b_cum = _doubling_scan(a, bx, lane, sub)
+        a_cum, b_cum = _doubling_scan(a, bx, lane, sub, reverse=reverse)
         h = b_cum + a_cum * h0[:, :, :, None]      # (gb, n, d, sub)
 
         y = jnp.sum(h * Cm[:, :, None, :], axis=1) + Df * u_s
         y_ref[:, :, sl] = y.astype(y_ref.dtype)
-        h0 = h[:, :, :, sub - 1]
+        h0 = h[:, :, :, 0 if reverse else sub - 1]
 
     h_scratch[:, :, :d] = h0
 
@@ -366,13 +382,17 @@ def _fwd_geometry(BG: int, dp: int, n: int, lc: int, L: int):
     iterations' (gb, n, db, sub) sets — it can afford much larger d-blocks
     / row groups than the backward. IO blocks (u/dt/B/C/y at mega lanes)
     are double-buffered by Pallas."""
-    sub = min(_FWD_SUB, lc)
+    import os
+
+    sub = int(os.environ.get("MLAGG_SCAN_FWD_SUB", 0)) or min(_FWD_SUB, lc)
+    sub = min(sub, lc)
+    live = int(os.environ.get("MLAGG_SCAN_FWD_LIVE", 0)) or 13
 
     def fits(gb, db, mega):
         # ~13 live fp32 (gb,n,db,sub) temporaries per unrolled sub-chunk
         # iteration (doubling-scan a/b/shifts + h/y), measured against
         # Mosaic's scoped-vmem accounting
-        temps = 13 * gb * n * db * sub * 4
+        temps = live * gb * n * db * sub * 4
         io = 2 * gb * (2 * db * mega * 2 + 2 * n * mega * 2 + db * mega * 4)
         states = 2 * gb * max(1, mega // lc) * db * n * 4
         return temps + io + states <= _VMEM_BUDGET
@@ -399,7 +419,8 @@ def _fwd_geometry(BG: int, dp: int, n: int, lc: int, L: int):
 
 
 def _pallas_forward(u, delta, A, B, C, D, delta_bias, delta_softplus,
-                    chunk_size, with_states: bool = False):
+                    chunk_size, with_states: bool = False,
+                    reverse: bool = False):
     u_f, dt_f, bias_f, A_f, B_f, C_f, D_f, s = _prep_padded(
         u, delta, A, B, C, D, delta_bias, chunk_size)
     b, g, d, L, n = s["b"], s["g"], s["d"], s["L"], s["n"]
@@ -417,24 +438,36 @@ def _pallas_forward(u, delta, A, B, C, D, delta_bias, delta_softplus,
     assert mega % sub == 0 and lc % sub == 0 and mega % lc == 0, (
         f"scan chunking misaligned: mega={mega} lc={lc} sub={sub}")
 
+    # reverse: iterate megas back-to-front so the VMEM state flows
+    # right-to-left; the kernel mirrors its sub-chunk loop and doubling
+    rj = nmega - 1
+
+    def lmap(i, jd, j):
+        return (i, jd, rj - j if reverse else j)
+
+    def lmap_n(i, jd, j):
+        return (i, 0, rj - j if reverse else j)
+
+    def smap(i, jd, j):
+        return (i, rj - j if reverse else j, jd, 0)
+
     grid = (BG // gb, dp // db, nmega)
     y, h0_states = pl.pallas_call(
         functools.partial(_fwd_kernel, lc=mega, sub=sub, state_every=lc,
-                          softplus=delta_softplus),
+                          softplus=delta_softplus, reverse=reverse),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((gb, db, mega), lambda i, jd, j: (i, jd, j)),
-            pl.BlockSpec((gb, db, mega), lambda i, jd, j: (i, jd, j)),
+            pl.BlockSpec((gb, db, mega), lmap),
+            pl.BlockSpec((gb, db, mega), lmap),
             pl.BlockSpec((gb, db, 1), lambda i, jd, j: (i, jd, 0)),
             pl.BlockSpec((gb, db, n), lambda i, jd, j: (i, jd, 0)),
-            pl.BlockSpec((gb, n, mega), lambda i, jd, j: (i, 0, j)),
-            pl.BlockSpec((gb, n, mega), lambda i, jd, j: (i, 0, j)),
+            pl.BlockSpec((gb, n, mega), lmap_n),
+            pl.BlockSpec((gb, n, mega), lmap_n),
             pl.BlockSpec((gb, db, 1), lambda i, jd, j: (i, jd, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((gb, db, mega), lambda i, jd, j: (i, jd, j)),
-            pl.BlockSpec((gb, states_per_mega, db, n),
-                         lambda i, jd, j: (i, j, jd, 0)),
+            pl.BlockSpec((gb, db, mega), lmap),
+            pl.BlockSpec((gb, states_per_mega, db, n), smap),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((BG, dp, Lp), jnp.float32),
@@ -451,8 +484,16 @@ def _pallas_forward(u, delta, A, B, C, D, delta_bias, delta_softplus,
 
 
 def _pallas_backward(u, delta, A, B, C, D, delta_bias, delta_softplus,
-                     chunk_size, h0_states, gy):
-    """Returns (du, ddelta, dA, dB, dC, dD, dbias) matching input shapes."""
+                     chunk_size, h0_states, gy, reverse: bool = False):
+    """Returns (du, ddelta, dA, dB, dC, dD, dbias) matching input shapes.
+
+    reverse=True computes the backward of a reverse=True forward by
+    mirroring the PADDED problem: flip the padded operands/gy along Lp
+    (so chunk boundaries stay aligned with the forward's saved restart
+    states, which were emitted over the same padded layout), reverse the
+    state chunk order, run the standard backward, and flip the L-indexed
+    grads back. Flipping before padding instead would shift the real data
+    against the chunk grid and desync the recompute."""
     u_f, dt_f, bias_f, A_f, B_f, C_f, D_f, s = _prep_padded(
         u, delta, A, B, C, D, delta_bias, chunk_size)
     b, g, d, L, n = s["b"], s["g"], s["d"], s["L"], s["n"]
@@ -463,6 +504,10 @@ def _pallas_backward(u, delta, A, B, C, D, delta_bias, delta_softplus,
     if Lp != L or dp != d:
         gy_f = jnp.pad(gy_f, ((0, 0), (0, 0), (0, dp - d), (0, Lp - L)))
     gy_f = gy_f.reshape(BG, dp, Lp)
+    if reverse:
+        u_f, dt_f, B_f, C_f, gy_f = (x[..., ::-1] for x in
+                                     (u_f, dt_f, B_f, C_f, gy_f))
+        h0_states = h0_states[:, ::-1]
 
     db = s["db"]
     grid = (BG // gb, dp // db, nchunks)
@@ -506,6 +551,9 @@ def _pallas_backward(u, delta, A, B, C, D, delta_bias, delta_softplus,
         interpret=_interpret(),
     )(u_f, dt_f, bias_f, A_f, B_f, C_f, D_f, gy_f, h0_states)
 
+    if reverse:
+        du_c, ddt_c = du_c[..., ::-1], ddt_c[..., ::-1]
+        dB_c, dC_c = dB_c[..., ::-1], dC_c[..., ::-1]
     du = du_c.reshape(b, g, dp, Lp)[:, :, :d, :L]
     ddelta = ddt_c.reshape(b, g, dp, Lp)[:, :, :d, :L]
     dA_bg = dA_c.reshape(b, g, dp, n)[:, :, :d, :]
@@ -524,24 +572,26 @@ def _pallas_backward(u, delta, A, B, C, D, delta_bias, delta_softplus,
             None if dbias is None else dbias.astype(delta_bias.dtype))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def _selective_scan_pallas(u, delta, A, B, C, D, delta_bias,
-                           delta_softplus, chunk_size):
+                           delta_softplus, chunk_size, reverse):
     return _pallas_forward(u, delta, A, B, C, D, delta_bias,
-                           delta_softplus, chunk_size)
+                           delta_softplus, chunk_size, reverse=reverse)
 
 
-def _fwd(u, delta, A, B, C, D, delta_bias, delta_softplus, chunk_size):
+def _fwd(u, delta, A, B, C, D, delta_bias, delta_softplus, chunk_size,
+         reverse):
     y, h0_states = _pallas_forward(u, delta, A, B, C, D, delta_bias,
                                    delta_softplus, chunk_size,
-                                   with_states=True)
+                                   with_states=True, reverse=reverse)
     return y, (u, delta, A, B, C, D, delta_bias, h0_states)
 
 
-def _bwd(delta_softplus, chunk_size, res, gy):
+def _bwd(delta_softplus, chunk_size, reverse, res, gy):
     u, delta, A, B, C, D, delta_bias, h0_states = res
     return _pallas_backward(u, delta, A, B, C, D, delta_bias,
-                            delta_softplus, chunk_size, h0_states, gy)
+                            delta_softplus, chunk_size, h0_states, gy,
+                            reverse=reverse)
 
 
 _selective_scan_pallas.defvjp(_fwd, _bwd)
@@ -557,8 +607,14 @@ def selective_scan_pallas(
     delta_bias: Optional[jnp.ndarray] = None,
     delta_softplus: bool = False,
     chunk_size: int = 512,
+    reverse: bool = False,
 ) -> jnp.ndarray:
     """Same contract as ops.selective_scan.selective_scan:
-    u/delta (b,g,d,l); A (g,d,n); B/C (b,g,n,l); D/delta_bias (g,d)."""
+    u/delta (b,g,d,l); A (g,d,n); B/C (b,g,n,l); D/delta_bias (g,d).
+
+    reverse=True scans each row right-to-left (outputs in natural storage
+    order) — equivalent to flipping u/delta/B/C along L, scanning, and
+    flipping y back, but with the flips folded into the kernel's index maps
+    (zero extra HBM traffic). Used for VMamba cross-scan directions 2/3."""
     return _selective_scan_pallas(u, delta, A, B, C, D, delta_bias,
-                                  delta_softplus, chunk_size)
+                                  delta_softplus, chunk_size, reverse)

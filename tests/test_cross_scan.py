@@ -101,3 +101,51 @@ def test_ss2d_forward_type_ablations(rng):
     m = SS2D(d_model=16, d_state=4, forward_type="v2_noz")
     v = m.init({"params": key}, x)
     assert v["params"]["in_proj"]["kernel"].shape == (16, 32)
+
+
+def test_2dir_scheme_matches_4dir(rng):
+    """The kernel-folded reversal scheme (2 layouts + reverse=True scans)
+    must be an exact re-arrangement of the classic 4-direction path:
+    scanning the reversed-scale-order concat right-to-left reproduces each
+    direction-2/3 per-scale flipped sequence, and the merge reproduces
+    cross_merge_multiscale_tokens."""
+    import jax.numpy as jnp
+
+    from mlagg_unet_tpu.ops.cross_scan import (
+        cross_merge_multiscale_tokens,
+        cross_merge_multiscale_tokens_2dir,
+        cross_scan_multiscale,
+        cross_scan_multiscale_2dir,
+    )
+
+    shapes = [(6, 4), (3, 2), (2, 2)]
+    xs = [jnp.asarray(rng.randn(2, h, w, 3).astype(np.float32))
+          for h, w in shapes]
+    cat4, l_split = cross_scan_multiscale(xs, pad_to=80)
+    fwd, ls2 = cross_scan_multiscale_2dir(xs, pad_to=80)
+    rev, _ = cross_scan_multiscale_2dir(xs, pad_to=80, reverse_scales=True)
+    assert ls2 == l_split
+    L = sum(l_split)
+    # dirs 0/1: identical sequences
+    np.testing.assert_array_equal(np.asarray(cat4[:, :2]), np.asarray(fwd))
+    # dirs 2/3: cat4 rows are concat_i(rev(d_i)); the reversed-scale concat
+    # read right-to-left gives the same sequence
+    np.testing.assert_array_equal(
+        np.asarray(cat4[:, 2:, :, :L]),
+        np.asarray(rev[..., :L][..., ::-1]))
+
+    # merge equivalence on synthetic per-direction scan outputs: emulate
+    # y4 (4-dir, natural per-direction sequence order) and the 2-dir pair
+    # (y_rev holds dirs 2/3 outputs in natural STORAGE order)
+    y4 = jnp.asarray(rng.randn(2, 4, 3, cat4.shape[-1]).astype(np.float32))
+    y_fwd = y4[:, :2]
+    y_rev = jnp.concatenate(
+        [y4[:, 2:, :, :L][..., ::-1],
+         jnp.zeros((2, 2, 3, cat4.shape[-1] - L), jnp.float32)], axis=-1)
+    tok4 = cross_merge_multiscale_tokens(y4, shapes, l_split)
+    tok2 = cross_merge_multiscale_tokens_2dir(y_fwd, y_rev, shapes, l_split)
+    for a, b in zip(tok4, tok2):
+        # summation order differs (y0+y2 before the transpose vs after):
+        # equal up to fp32 rounding
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)

@@ -173,3 +173,49 @@ def test_pallas_wide_d_blocking(rng):
     for name, a, b in zip(["du", "ddelta", "dB", "dC"], gp, gx):
         rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-30))
         assert rel < 1e-3, (name, rel)
+
+
+def test_pallas_reverse_scan(rng):
+    """reverse=True == flip -> scan -> flip (the definition used by the
+    VMamba cross-scan directions 2/3; the kernel folds the flips into its
+    grid index maps and mirrored doubling). Covers L not a multiple of the
+    mega chunk (pad tail is scanned FIRST in reverse and must contribute
+    zero state) and the flip-based reversed backward."""
+    args = make_inputs(rng, b=2, g=2, d=16, n=8, l=320)
+    y_flip = selective_scan_pallas(
+        args[0][..., ::-1], args[1][..., ::-1], args[2], args[3][..., ::-1],
+        args[4][..., ::-1], args[5], args[6], delta_softplus=True,
+    )[..., ::-1]
+    y_rev = selective_scan_pallas(*args, delta_softplus=True, reverse=True)
+    np.testing.assert_allclose(np.asarray(y_rev), np.asarray(y_flip),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss_rev(u, delta, B, C):
+        return jnp.sum(jnp.sin(selective_scan_pallas(
+            u, delta, args[2], B, C, args[5], args[6],
+            delta_softplus=True, reverse=True)))
+
+    def loss_flip(u, delta, B, C):
+        return jnp.sum(jnp.sin(selective_scan_pallas(
+            u[..., ::-1], delta[..., ::-1], args[2], B[..., ::-1],
+            C[..., ::-1], args[5], args[6],
+            delta_softplus=True)[..., ::-1]))
+
+    a4 = (args[0], args[1], args[3], args[4])
+    gr = jax.grad(loss_rev, argnums=(0, 1, 2, 3))(*a4)
+    gf = jax.grad(loss_flip, argnums=(0, 1, 2, 3))(*a4)
+    for name, a, b in zip(["du", "ddelta", "dB", "dC"], gr, gf):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-30))
+        assert rel < 1e-4, (name, rel)
+
+
+def test_xla_reverse_scan(rng):
+    """XLA fallback reverse= kwarg matches the flip definition."""
+    args = make_inputs(rng, b=1, g=2, d=8, n=8, l=96)
+    y_flip = selective_scan(
+        args[0][..., ::-1], args[1][..., ::-1], args[2], args[3][..., ::-1],
+        args[4][..., ::-1], args[5], args[6], delta_softplus=True,
+    )[..., ::-1]
+    y_rev = selective_scan(*args, delta_softplus=True, reverse=True)
+    np.testing.assert_allclose(np.asarray(y_rev), np.asarray(y_flip),
+                               rtol=1e-6, atol=1e-6)
