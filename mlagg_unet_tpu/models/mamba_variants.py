@@ -170,9 +170,34 @@ class SegMamba(nn.Module):
         return nn.Conv(self.num_classes, (1,) * d, name="out")(h)
 
 
-class _ResidualMambaLayer(nn.Module):
-    """LightM-UNet RVM layer: scale-gated residual Mamba."""
+class _DWConvLayer(nn.Module):
+    """depthwise conv(k) + pointwise conv(1) (get_dwconv_layer,
+    nnUNetTrainer_LightMUNet.py:144-152). Both convs take the stride and
+    default to bias=False, as in the reference."""
 
+    out_channels: int
+    kernel: int = 3
+    stride: int = 1
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.ndim - 2
+        cin = x.shape[-1]
+        x = nn.Conv(cin, (self.kernel,) * d, strides=(self.stride,) * d,
+                    padding=self.kernel // 2, feature_group_count=cin,
+                    use_bias=self.use_bias, name="dw")(x)
+        return nn.Conv(self.out_channels, (1,) * d,
+                       strides=(self.stride,) * d,
+                       use_bias=self.use_bias, name="pw")(x)
+
+
+class _LightMambaLayer(nn.Module):
+    """LightM-UNet RVM layer (nnUNetTrainer_LightMUNet.py:156-184):
+    LN -> Mamba -> + skip_scale*tokens -> the SAME LN again (shared
+    parameters — a reference quirk) -> Linear projection."""
+
+    output_dim: int
     d_state: int = 16
 
     @nn.compact
@@ -181,48 +206,103 @@ class _ResidualMambaLayer(nn.Module):
         L = 1
         for s in spatial:
             L *= s
-        skip_scale = self.param("skip_scale", nn.initializers.ones, (1,))
         t = x.reshape(B, L, C)
-        h = nn.LayerNorm(name="norm")(t)
-        h = MambaBlock(d_model=C, d_state=self.d_state, name="mamba")(h)
-        out = h + skip_scale * t
-        return out.reshape(B, *spatial, C)
+        norm = nn.LayerNorm(epsilon=1e-5, name="norm")
+        skip_scale = self.param("skip_scale", nn.initializers.ones, (1,))
+        h = MambaBlock(d_model=C, d_state=self.d_state, name="mamba")(
+            norm(t))
+        h = norm(h + skip_scale * t)
+        h = nn.Dense(self.output_dim, name="proj")(h)
+        return h.reshape(B, *spatial, self.output_dim)
+
+
+class _GN8(nn.Module):
+    """monai ("GROUP", {"num_groups": 8}) norm, affine."""
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.GroupNorm(num_groups=8, epsilon=1e-5)(x)
+
+
+class _ResMambaBlock(nn.Module):
+    """GN8 -> ReLU -> MambaLayer, twice, with outer residual
+    (nnUNetTrainer_LightMUNet.py:199-246)."""
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        h = jax.nn.relu(_GN8(name="norm1")(x))
+        h = _LightMambaLayer(c, name="conv1")(h)
+        h = jax.nn.relu(_GN8(name="norm2")(h))
+        h = _LightMambaLayer(c, name="conv2")(h)
+        return h + x
+
+
+class _ResUpBlock(nn.Module):
+    """GN8 -> ReLU -> dwconv + skip_scale*identity -> GN8 -> ReLU
+    (nnUNetTrainer_LightMUNet.py:249-289)."""
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        skip_scale = self.param("skip_scale", nn.initializers.ones, (1,))
+        h = jax.nn.relu(_GN8(name="norm1")(x))
+        h = _DWConvLayer(c, name="conv")(h) + skip_scale * x
+        return jax.nn.relu(_GN8(name="norm2")(h))
+
+
+def _maxpool2(x):
+    d = x.ndim - 2
+    return nn.max_pool(x, (2,) * d, strides=(2,) * d)
+
+
+def _nearest2(x):
+    for ax in range(1, x.ndim - 1):
+        x = jnp.repeat(x, 2, axis=ax)
+    return x
 
 
 class LightMUNet(nn.Module):
-    """LightM-UNet (nnUNetTrainer_LightMUNet.py): lightweight UNet whose
-    encoder stages are residual-Mamba layers over conv-downsampled maps."""
+    """LightM-UNet (nnUNetTrainer_LightMUNet.py:292-417): MONAI SegResNet
+    skeleton with Mamba layers as the conv substitute. dwconv stem,
+    down stages = [mamba downsample + maxpool] + ResMambaBlocks, up stages
+    = 1x1 conv + nearest upsample + additive skip + ResUpBlock, final
+    GN+ReLU+dwconv head. No deep supervision (trainer subclasses
+    nnUNetTrainerNoDeepSupervision; Adam lr 1e-4, wd 1e-5 :26-28).
+    Weight parity: tests/test_torch_parity.py::test_lightm_unet_parity."""
 
     num_classes: int
-    features: Sequence[int] = (16, 32, 64, 128)
-    deep_supervision: bool = False
+    init_filters: int = 32
+    blocks_down: Sequence[int] = (1, 2, 2, 4)
+    blocks_up: Sequence[int] = (1, 1, 1)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        d = x.ndim - 2
-        skips = []
-        h = nn.Conv(self.features[0], (3,) * d, padding="SAME",
-                    name="stem")(x)
-        for i, f in enumerate(self.features):
+        f = self.init_filters
+        h = _DWConvLayer(f, name="convInit")(x)
+        down_x = []
+        for i, item in enumerate(self.blocks_down):
+            ch = f * 2 ** i
             if i > 0:
-                h = nn.Conv(f, (3,) * d, strides=(2,) * d, padding=1,
-                            name=f"down{i}")(h)
-            h = _ResidualMambaLayer(name=f"rvm{i}")(h)
-            skips.append(h)
+                h = _LightMambaLayer(ch, name=f"down{i}_mamba")(h)
+                h = _maxpool2(h)
+            for j in range(item):
+                h = _ResMambaBlock(name=f"down{i}_block{j}")(h)
+            down_x.append(h)
+        down_x.reverse()
 
-        ds = []
-        for i in range(len(self.features) - 2, -1, -1):
-            h = TransposedConvND(self.features[i], [2] * d,
-                                 name=f"up{i}")(h)
-            h = h + skips[i]
-            h = ConvNormAct(self.features[i], [3] * d, [1] * d,
-                            name=f"dec{i}")(h)
-            if self.deep_supervision or i == 0:
-                ds.append(nn.Conv(self.num_classes, (1,) * d,
-                                  name=f"seg{i}")(h))
-        if not self.deep_supervision:
-            return ds[-1]
-        return ds[::-1]
+        n_up = len(self.blocks_up)
+        for i in range(n_up):
+            cin = f * 2 ** (n_up - i)
+            h = nn.Conv(cin // 2, (1,) * (x.ndim - 2), use_bias=False,
+                        name=f"up{i}_conv")(h)
+            h = _nearest2(h) + down_x[i + 1]
+            for j in range(self.blocks_up[i]):
+                h = _ResUpBlock(name=f"up{i}_block{j}")(h)
+
+        h = jax.nn.relu(_GN8(name="final_norm")(h))
+        return _DWConvLayer(self.num_classes, kernel=1, use_bias=True,
+                            name="conv_final")(h)
 
 
 class _PVMLayer(nn.Module):
@@ -286,37 +366,156 @@ class UltraLightVMUNet(nn.Module):
         return nn.Conv(self.num_classes, (1, 1), name="seg")(h)
 
 
+class _NNDoubleConv(nn.Module):
+    """conv(k,s)+BN+ReLU + conv(3)+BN+ReLU (nnUNetTrainer_nnMamba.py
+    DoubleConv :199-213). Convs carry bias (torch default)."""
+
+    out_ch: int
+    stride: Union[Sequence[int], None] = None
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = x.ndim - 2
+        stride = tuple(self.stride) if self.stride is not None else (1,) * d
+        h = nn.Conv(self.out_ch, (self.kernel,) * d, strides=stride,
+                    padding=self.kernel // 2, name="conv_a")(x)
+        h = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
+                         momentum=0.9, name="bn_a")(h)
+        h = jax.nn.relu(h)
+        h = nn.Conv(self.out_ch, (3,) * d, padding=1, name="conv_b")(h)
+        h = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
+                         momentum=0.9, name="bn_b")(h)
+        return jax.nn.relu(h)
+
+
+class _NNMambaLayer(nn.Module):
+    """nnMamba MambaLayer (:146-196): 1x1 conv + BN + ReLU, then ONE shared
+    Mamba applied to the token tensor and its channel / sequence /
+    channel+sequence flips (averaged — note the reference's dims=[2] flip
+    is over CHANNELS of the (B, L, C) tokens), residual add, 1x1 conv +
+    BN + ReLU."""
+
+    d_state: int = 16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = x.ndim - 2
+        C = x.shape[-1]
+        B = x.shape[0]
+        h = nn.Conv(C, (1,) * d, use_bias=False, name="nin")(x)
+        h = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
+                         momentum=0.9, name="norm")(h)
+        h = jax.nn.relu(h)
+        act = h
+        spatial = h.shape[1:-1]
+        L = 1
+        for s in spatial:
+            L *= s
+        t = h.reshape(B, L, C)
+        mamba = MambaBlock(d_model=C, d_state=self.d_state, name="mamba")
+        y = (mamba(t)
+             + mamba(t[:, :, ::-1])[:, :, ::-1]
+             + mamba(t[:, ::-1])[:, ::-1]
+             + mamba(t[:, ::-1, ::-1])[:, ::-1, ::-1]) / 4.0
+        out = y.reshape(B, *spatial, C) + act
+        out = nn.Conv(C, (1,) * d, use_bias=False, name="nin2")(out)
+        out = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
+                           momentum=0.9, name="norm2")(out)
+        return jax.nn.relu(out)
+
+
+class _NNBasicBlock(nn.Module):
+    """ResNet BasicBlock with optional Mamba global-attention add
+    (:92-130). The mamba module is passed in bound form so consecutive
+    blocks SHARE it (make_res_layer passes one instance, :133-143)."""
+
+    planes: int
+    stride: Union[Sequence[int], None] = None
+    has_downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x, mamba=None, train: bool = False):
+        d = x.ndim - 2
+        stride = tuple(self.stride) if self.stride is not None else (1,) * d
+        h = nn.Conv(self.planes, (3,) * d, strides=stride,
+                    padding=1, use_bias=False, name="conv1")(x)
+        h = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
+                         momentum=0.9, name="bn1")(h)
+        h = jax.nn.relu(h)
+        h = nn.Conv(self.planes, (3,) * d, padding=1, use_bias=False,
+                    name="conv2")(h)
+        h = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
+                         momentum=0.9, name="bn2")(h)
+        if mamba is not None:
+            h = h + mamba(x, train=train)
+        identity = x
+        if self.has_downsample:
+            identity = nn.Conv(self.planes, (1,) * d, strides=stride,
+                               use_bias=False, name="ds_conv")(x)
+            identity = nn.BatchNorm(use_running_average=not train,
+                                    epsilon=1e-5, momentum=0.9,
+                                    name="ds_bn")(identity)
+        return jax.nn.relu(h + identity)
+
+
+def _trilinear(x, scale):
+    """torch nn.Upsample(mode='trilinear', align_corners=False) — half-
+    pixel-center linear resize, == jax.image.resize 'linear'."""
+    out_shape = (x.shape[0],) + tuple(
+        s * f for s, f in zip(x.shape[1:-1], scale)) + (x.shape[-1],)
+    return jax.image.resize(x, out_shape, method="linear")
+
+
 class NNMamba(nn.Module):
-    """nnMamba (nnUNetTrainer_nnMamba.py): res-conv encoder with a
-    Mamba-in-Convolution skip module on the first scales + conv decoder."""
+    """nnMambaSeg (nnUNetTrainer_nnMamba.py:237-296): DoubleConv stem,
+    three ResNet layers (3 blocks each; blocks 1-2 share one MambaLayer as
+    a global-attention add), SE-style attention gates on the skips,
+    trilinear-upsample decoder whose FINAL DoubleConv produces the class
+    logits (BN+ReLU included — a reference quirk). 3D, no deep supervision
+    (trainer: AdamW 1e-4/1e-3, cosine warmup, 500 epochs, :14-27).
+    Weight parity: tests/test_torch_parity.py::test_nnmamba_parity."""
 
     num_classes: int
-    features: Sequence[int] = (32, 64, 128, 256)
-    deep_supervision: bool = False
+    channels: int = 32
+    blocks: int = 3
+    strides: Sequence[Sequence[int]] = ((1, 1, 1), (2, 2, 2), (2, 2, 2),
+                                        (2, 2, 2))
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        d = x.ndim - 2
-        skips = []
-        h = x
-        for i, f in enumerate(self.features):
-            stride = [1] * d if i == 0 else [2] * d
-            h = StackedConvBlocks(2, f, [3] * d, stride, name=f"enc{i}")(h)
-            skips.append(h)
+        train = not deterministic
+        ch = self.channels
+        st = [tuple(s) for s in self.strides]
 
-        # MIC: mamba over the bottleneck + first skip
-        skips[0] = _TokenMamba(name="mic0")(skips[0])
-        h = _TokenMamba(name="mic_bot")(h)
+        def se_gate(f, idx):
+            c = f.shape[-1]
+            pooled = jnp.mean(f, axis=tuple(range(1, f.ndim - 1)))
+            a = nn.Dense(c // 16, name=f"att{idx}_layer1")(pooled)
+            a = nn.Dense(c, name=f"att{idx}_layer2")(jax.nn.relu(a))
+            a = jax.nn.sigmoid(a)
+            return f * a.reshape(a.shape[0], *([1] * (f.ndim - 2)),
+                                 a.shape[-1])
 
-        ds = []
-        for i in range(len(self.features) - 2, -1, -1):
-            h = TransposedConvND(self.features[i], [2] * d, name=f"up{i}")(h)
-            h = jnp.concatenate([h, skips[i]], axis=-1)
-            h = StackedConvBlocks(1, self.features[i], [3] * d, [1] * d,
-                                  name=f"dec{i}")(h)
-            if self.deep_supervision or i == 0:
-                ds.append(nn.Conv(self.num_classes, (1,) * d,
-                                  name=f"seg{i}")(h))
-        if not self.deep_supervision:
-            return ds[-1]
-        return ds[::-1]
+        def res_layer(h, planes, stride, idx):
+            mamba = _NNMambaLayer(name=f"mamba{idx}")
+            h = _NNBasicBlock(planes, stride, has_downsample=True,
+                              name=f"layer{idx}_block0")(h, train=train)
+            for j in range(1, self.blocks):
+                h = _NNBasicBlock(planes, name=f"layer{idx}_block{j}")(
+                    h, mamba=mamba, train=train)
+            return h
+
+        c1 = _NNDoubleConv(ch, st[0], name="in_conv")(x, train=train)
+        c2 = res_layer(c1, ch * 2, st[1], 1)
+        c3 = res_layer(c2, ch * 4, st[2], 2)
+        c4 = res_layer(c3, ch * 8, st[3], 3)
+
+        h = jnp.concatenate([_trilinear(c4, st[3]), se_gate(c3, 3)], -1)
+        h = _NNDoubleConv(ch * 4, name="conv5")(h, train=train)
+        h = jnp.concatenate([_trilinear(h, st[2]), se_gate(c2, 2)], -1)
+        h = _NNDoubleConv(ch * 2, name="conv6")(h, train=train)
+        h = jnp.concatenate([_trilinear(h, st[1]), se_gate(c1, 1)], -1)
+        h = _NNDoubleConv(ch, name="conv7")(h, train=train)
+        h = _trilinear(h, st[0])
+        return _NNDoubleConv(self.num_classes, name="conv8")(h, train=train)

@@ -278,6 +278,20 @@ def _make_simple_builder(module_path: str, cls_name: str, two_d_only=False,
     return build
 
 
+def _build_nnmamba(configuration_manager, num_input_channels,
+                   num_output_channels, deep_supervision):
+    """nnMambaSeg takes its 4 layer strides from the plan's pool ops
+    (nnUNetTrainer_nnMamba.py:36-40: pool_op_kernel_sizes[1:5])."""
+    from mlagg_unet_tpu.models.mamba_variants import NNMamba
+
+    strides = [list(s) for s in
+               configuration_manager.pool_op_kernel_sizes[1:5]]
+    while len(strides) < 4:
+        strides.append([1] * len(configuration_manager.patch_size))
+    return NNMamba(num_classes=num_output_channels,
+                   strides=tuple(tuple(s) for s in strides))
+
+
 NETWORK_BUILDERS.update({
     "segmamba": _make_simple_builder(
         "mlagg_unet_tpu.models.mamba_variants", "SegMamba"),
@@ -286,8 +300,7 @@ NETWORK_BUILDERS.update({
     "ultralight_vmunet": _make_simple_builder(
         "mlagg_unet_tpu.models.mamba_variants", "UltraLightVMUNet",
         two_d_only=True),
-    "nnmamba": _make_simple_builder(
-        "mlagg_unet_tpu.models.mamba_variants", "NNMamba"),
+    "nnmamba": _build_nnmamba,
     "swin_unetr": _make_simple_builder(
         "mlagg_unet_tpu.models.swin_unetr", "SwinUNETR", two_d_only=True),
 })
@@ -300,14 +313,24 @@ register_trainer(replace(_default, name="nnUNetTrainer_SegMamba",
                          optimizer="adamw", initial_lr=1e-4,
                          weight_decay=1e-3, lr_scheduler="cosine_warmup",
                          num_epochs=500))
+# LightM-UNet: Adam (L2 wd) 1e-4/1e-5 eps 1e-5, poly LR
+# (nnUNetTrainer_LightMUNet.py:26-28,118-123)
 register_trainer(replace(_default, name="nnUNetTrainer_LightMUNet",
-                         network="lightm_unet", enable_deep_supervision=False))
+                         network="lightm_unet",
+                         enable_deep_supervision=False,
+                         optimizer="adam_l2", initial_lr=1e-4,
+                         weight_decay=1e-5, adam_eps=1e-5))
 register_trainer(replace(_default, name="nnUNetTrainer_UltraLightVMUNet",
                          network="ultralight_vmunet",
                          enable_deep_supervision=False, optimizer="adamw",
                          initial_lr=1e-3))
+# nnMamba: AdamW 1e-4/1e-3, timm cosine + 10-epoch warmup, 500 epochs
+# (nnUNetTrainer_nnMamba.py:14-27,57-62); strides from the plan's pool ops
 register_trainer(replace(_default, name="nnUNetTrainer_nnMamba",
-                         network="nnmamba", enable_deep_supervision=False))
+                         network="nnmamba", enable_deep_supervision=False,
+                         optimizer="adamw", initial_lr=1e-4,
+                         weight_decay=1e-3, lr_scheduler="cosine_warmup",
+                         num_epochs=500))
 NETWORK_BUILDERS["transunet"] = _make_simple_builder(
     "mlagg_unet_tpu.models.transunet", "TransUNet", two_d_only=True)
 register_trainer(replace(_default, name="nnUNetTrainerTransUNet",

@@ -254,6 +254,57 @@ def convert_reference_segmamba_state_dict(state_dict
                                          REFERENCE_SEGMAMBA_RULES)
 
 
+# LightM-UNet (nnUNetTrainer_LightMUNet.py:292-417, MONAI SegResNet
+# skeleton). Verified by test_torch_parity.py::test_lightm_unet_parity.
+REFERENCE_LIGHTM_RULES = [
+    (r"^convInit\.0\.conv\.", "convInit.dw."),
+    (r"^convInit\.1\.conv\.", "convInit.pw."),
+    (r"^down_layers\.(\d+)\.0\.0\.", r"down\1_mamba."),
+    (r"^down_layers\.(\d+)\.(\d+)\.", lambda m: (
+        f"down{m.group(1)}_block{int(m.group(2)) - 1}.")),
+    (r"^up_samples\.(\d+)\.0\.conv\.", r"up\1_conv."),
+    (r"^up_layers\.(\d+)\.(\d+)\.", r"up\1_block\2."),
+    (r"^conv_final\.0\.", "final_norm.GroupNorm_0."),
+    (r"^conv_final\.2\.0\.conv\.", "conv_final.dw."),
+    (r"^conv_final\.2\.1\.conv\.", "conv_final.pw."),
+    (r"\.conv\.0\.conv\.", ".conv.dw."),        # ResUpBlock dwconv
+    (r"\.conv\.1\.conv\.", ".conv.pw."),
+    (r"\.(norm1|norm2)\.", r".\1.GroupNorm_0."),
+    (r"\.dt_proj\.(weight|bias)$", r".dt_proj_\1"),
+]
+
+
+def convert_reference_lightm_state_dict(state_dict) -> Dict[str, np.ndarray]:
+    """torch LightMUNet state_dict -> flax layout."""
+    return _convert_reference_state_dict(state_dict, REFERENCE_LIGHTM_RULES)
+
+
+# nnMamba (nnUNetTrainer_nnMamba.py:237-296). BatchNorm running stats come
+# out as running_mean/running_var for the caller's batch_stats collection.
+# The layer-shared MambaLayer appears under BOTH owning blocks in the torch
+# state_dict (same tensors); both map onto the single flax mamba{k} path.
+# Verified by test_torch_parity.py::test_nnmamba_parity.
+REFERENCE_NNMAMBA_RULES = [
+    (r"^layer(\d+)\.\d+\.mamba_layer\.", r"mamba\1."),
+    (r"^layer(\d+)\.(\d+)\.", r"layer\1_block\2."),
+    (r"\.downsample\.0\.", ".ds_conv."),
+    (r"\.downsample\.1\.", ".ds_bn."),
+    (r"^att(\d+)\.layer(\d+)\.", r"att\1_layer\2."),
+    (r"\.conv\.0\.", ".conv_a."),
+    (r"\.conv\.1\.", ".bn_a."),
+    (r"\.conv\.3\.", ".conv_b."),
+    (r"\.conv\.4\.", ".bn_b."),
+    (r"\.dt_proj\.(weight|bias)$", r".dt_proj_\1"),
+]
+
+
+def convert_reference_nnmamba_state_dict(state_dict
+                                         ) -> Dict[str, np.ndarray]:
+    """torch nnMambaSeg state_dict -> flax layout."""
+    return _convert_reference_state_dict(state_dict,
+                                         REFERENCE_NNMAMBA_RULES)
+
+
 def _convert_reference_state_dict(state_dict, rules) -> Dict[str, np.ndarray]:
     out = {}
     for key, tensor in state_dict.items():

@@ -27,6 +27,7 @@ exec'd at test time and the tests skip when the mount is absent.
 """
 from __future__ import annotations
 
+import enum as _enum
 import pathlib
 import sys
 import types
@@ -199,9 +200,13 @@ def _install_shims():
 
     # ---------------- monai (blocks used by the flagship) ----------------
     def _norm(name, spatial_dims, channels):
+        kwargs = {}
         if isinstance(name, tuple):
-            name = name[0]
-        assert str(name).lower() == "instance", name
+            name, kwargs = name[0], dict(name[1]) if len(name) > 1 else {}
+        name = str(name).lower()
+        if name == "group":
+            return nn.GroupNorm(kwargs.get("num_groups", 8), channels)
+        assert name == "instance", name
         cls = nn.InstanceNorm2d if spatial_dims == 2 else nn.InstanceNorm3d
         return cls(channels, affine=True)
 
@@ -210,7 +215,7 @@ def _install_shims():
 
         def __init__(self, spatial_dims, in_ch, out_ch, kernel_size=3,
                      stride=1, bias=True, is_transposed=False,
-                     output_padding=None):
+                     output_padding=None, groups=1):
             super().__init__()
             conv_cls = (
                 (nn.ConvTranspose2d if spatial_dims == 2
@@ -234,7 +239,7 @@ def _install_shims():
                                 output_padding=opad, bias=bias)
             else:
                 conv = conv_cls(in_ch, out_ch, ks, ss,
-                                padding=pad, bias=bias)
+                                padding=pad, bias=bias, groups=groups)
             self.add_module("conv", conv)
 
     def get_conv_layer(spatial_dims, in_channels, out_channels,
@@ -333,18 +338,73 @@ def _install_shims():
     m_unetr.UnetrUpBlock = UnetrUpBlock
     m_blocks.unetr_block = m_unetr
     m_lutils.get_norm_layer = _norm
+
+    # ---- segresnet pieces (LightM-UNet, nnUNetTrainer_LightMUNet.py) ----
+    def Convolution(spatial_dims, in_channels, out_channels, strides=1,
+                    kernel_size=3, bias=True, conv_only=True, groups=1,
+                    **kw):
+        assert conv_only
+        return _Convolution(spatial_dims, in_channels, out_channels,
+                            kernel_size, strides, bias=bias, groups=groups)
+
+    def get_act_layer(act):
+        name = act[0] if isinstance(act, tuple) else act
+        assert str(name).lower() == "relu", act
+        return nn.ReLU()
+
+    def seg_get_conv_layer(spatial_dims, in_channels, out_channels,
+                           kernel_size=3, stride=1, bias=False):
+        return _Convolution(spatial_dims, in_channels, out_channels,
+                            kernel_size, stride, bias=bias)
+
+    def get_upsample_layer(spatial_dims, in_channels, upsample_mode=None,
+                           scale_factor=2):
+        return nn.Upsample(scale_factor=scale_factor, mode="nearest")
+
+    class UpsampleMode(str, _enum.Enum):
+        DECONV = "deconv"
+        NONTRAINABLE = "nontrainable"
+        PIXELSHUFFLE = "pixelshuffle"
+
+    class _DropoutFactory:
+        DROPOUT = 0
+
+        def __getitem__(self, key):
+            return nn.Dropout if not isinstance(key, tuple) \
+                else (lambda p: nn.Dropout(p))
+
+    m_convs = types.ModuleType("monai.networks.blocks.convolutions")
+    m_convs.Convolution = Convolution
+    m_seg = types.ModuleType("monai.networks.blocks.segresnet_block")
+    m_seg.ResBlock = UnetResBlock           # imported, unused by the model
+    m_seg.get_conv_layer = seg_get_conv_layer
+    m_seg.get_upsample_layer = get_upsample_layer
+    m_fact = types.ModuleType("monai.networks.layers.factories")
+    m_fact.Dropout = _DropoutFactory()
+    m_lutils.get_act_layer = get_act_layer
+    m_utils = types.ModuleType("monai.utils")
+    m_utils.UpsampleMode = UpsampleMode
+
     monai.networks = m_networks
     m_networks.blocks = m_blocks
     m_networks.layers = m_layers
     m_blocks.dynunet_block = m_dyn
+    m_blocks.convolutions = m_convs
+    m_blocks.segresnet_block = m_seg
     m_layers.utils = m_lutils
+    m_layers.factories = m_fact
+    monai.utils = m_utils
     sys.modules["monai"] = monai
     sys.modules["monai.networks"] = m_networks
     sys.modules["monai.networks.blocks"] = m_blocks
     sys.modules["monai.networks.blocks.dynunet_block"] = m_dyn
     sys.modules["monai.networks.blocks.unetr_block"] = m_unetr
+    sys.modules["monai.networks.blocks.convolutions"] = m_convs
+    sys.modules["monai.networks.blocks.segresnet_block"] = m_seg
     sys.modules["monai.networks.layers"] = m_layers
     sys.modules["monai.networks.layers.utils"] = m_lutils
+    sys.modules["monai.networks.layers.factories"] = m_fact
+    sys.modules["monai.utils"] = m_utils
 
 
 _cache = {}
@@ -921,4 +981,45 @@ def load_reference_segmamba():
     mod.__file__ = str(SEGMAMBA)
     exec(compile(src, str(SEGMAMBA), "exec"), mod.__dict__)
     _cache["segmamba"] = mod
+    return mod
+
+
+LIGHTM = UMAMBA_DIR / "nnUNetTrainer_LightMUNet.py"
+
+
+def load_reference_lightm():
+    """Exec the reference LightM-UNet model section (everything from the
+    second `from __future__` import down: get_dwconv_layer/MambaLayer/
+    ResMambaBlock/ResUpBlock/LightMUNet), skipping the nnunetv2-dependent
+    trainer class above it. Uses the monai segresnet shims."""
+    if "lightm" in _cache:
+        return _cache["lightm"]
+    _install_dna_shims()
+
+    src = LIGHTM.read_text()
+    src = src[src.rindex("from __future__ import annotations"):]
+    mod = types.ModuleType("ref_lightm")
+    mod.__file__ = str(LIGHTM)
+    exec(compile(src, str(LIGHTM), "exec"), mod.__dict__)
+    _cache["lightm"] = mod
+    return mod
+
+
+NNMAMBA = UMAMBA_DIR / "nnUNetTrainer_nnMamba.py"
+
+
+def load_reference_nnmamba():
+    """Exec the reference nnMamba model section (from its torch imports
+    down to the __main__ guard)."""
+    if "nnmamba" in _cache:
+        return _cache["nnmamba"]
+    _install_dna_shims()
+
+    src = NNMAMBA.read_text()
+    src = src[src.index("import torch\nimport torch.nn as nn"):]
+    src = src[: src.index('if __name__ == "__main__"')]
+    mod = types.ModuleType("ref_nnmamba")
+    mod.__file__ = str(NNMAMBA)
+    exec(compile(src, str(NNMAMBA), "exec"), mod.__dict__)
+    _cache["nnmamba"] = mod
     return mod

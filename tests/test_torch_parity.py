@@ -809,3 +809,114 @@ def test_segmamba_forward_parity():
     rel = np.abs(np.asarray(got) - ref_np).max() / (
         np.abs(ref_np).max() + 1e-8)
     assert rel < 2e-3, f"SegMamba output: rel err {rel}"
+
+
+def test_lightm_unet_parity():
+    """LightM-UNet (nnUNetTrainer_LightMUNet.py:292-417): MONAI SegResNet
+    skeleton with RVM Mamba layers — shared-LN quirk (the same LayerNorm
+    applied before the Mamba and again after the gated residual),
+    mamba+maxpool downsamples, 1x1-conv + nearest upsamples with additive
+    skips, GN8 norms, dwconv stem/head."""
+    import torch
+
+    from mlagg_unet_tpu.models.mamba_variants import LightMUNet
+    from mlagg_unet_tpu.training.torch_import import (
+        convert_reference_lightm_state_dict,
+    )
+
+    m = rt.load_reference_lightm()
+    torch.manual_seed(0)
+    net = m.LightMUNet(spatial_dims=2, init_filters=8, in_channels=1,
+                       out_channels=3, blocks_down=[1, 2, 2, 4],
+                       blocks_up=[1, 1, 1])
+    net.eval()
+    model = LightMUNet(num_classes=3, init_filters=8)
+
+    converted = {tuple(k.split("/")): v for k, v in
+                 convert_reference_lightm_state_dict(
+                     net.state_dict()).items()}
+    x_np = np.random.RandomState(13).randn(1, 32, 32, 1).astype(np.float32)
+    new_params = _load_params_strict(model, x_np, converted)
+
+    import jax.numpy as jnp
+    with torch.no_grad():
+        ref = net(torch.from_numpy(np.transpose(x_np, (0, 3, 1, 2))))
+    got = model.apply({"params": new_params}, jnp.asarray(x_np))
+    ref_np = np.transpose(ref.numpy(), (0, 2, 3, 1))
+    assert got.shape == ref_np.shape, (got.shape, ref_np.shape)
+    rel = np.abs(np.asarray(got) - ref_np).max() / (
+        np.abs(ref_np).max() + 1e-8)
+    assert rel < 2e-3, f"LightMUNet output: rel err {rel}"
+
+
+def test_nnmamba_parity():
+    """nnMambaSeg (nnUNetTrainer_nnMamba.py:237-296): ResNet-BasicBlock
+    encoder whose blocks 1-2 per layer SHARE one MambaLayer (4 flip
+    variants through one Mamba, incl. the channel-flip quirk), SE gates on
+    skips, trilinear decoder, final DoubleConv head with BN+ReLU."""
+    import flax
+    import torch
+
+    from mlagg_unet_tpu.models.mamba_variants import NNMamba
+    from mlagg_unet_tpu.training.torch_import import (
+        convert_reference_nnmamba_state_dict,
+    )
+
+    m = rt.load_reference_nnmamba()
+    torch.manual_seed(0)
+    strides = [[1, 1, 1], [2, 2, 2], [2, 2, 2], [1, 2, 2]]
+    net = m.nnMambaSeg(strides=strides, in_ch=1, channels=16, blocks=3,
+                       number_classes=2)
+    net.eval()
+    model = NNMamba(num_classes=2, channels=16,
+                    strides=tuple(tuple(s) for s in strides))
+
+    import jax.numpy as jnp
+    import jax.random as jrandom
+
+    x_np = np.random.RandomState(17).randn(1, 8, 16, 16, 1
+                                           ).astype(np.float32)
+    variables = model.init(jrandom.PRNGKey(0), jnp.asarray(x_np))
+    params = variables["params"]
+    flat, _ = flax_flat(params)
+
+    converted = {tuple(k.split("/")): v for k, v in
+                 convert_reference_nnmamba_state_dict(
+                     net.state_dict()).items()}
+    bn_stats = {k: v for k, v in converted.items()
+                if k[-1] in ("running_mean", "running_var")}
+    converted = {k: v for k, v in converted.items() if k not in bn_stats}
+
+    missing = sorted(set(flat) - set(converted))
+    extra = sorted(set(converted) - set(flat))
+    assert not missing and not extra, (
+        ["flax-only: " + "/".join(k) for k in missing[:20]]
+        + ["torch-only: " + "/".join(k) for k in extra[:20]])
+    mismatched = [(k, flat[k].shape, converted[k].shape) for k in flat
+                  if tuple(flat[k].shape) != tuple(converted[k].shape)]
+    assert not mismatched, mismatched[:10]
+
+    new_params = flax.core.unfreeze(params)
+    for path, val in converted.items():
+        node = new_params
+        for p in path[:-1]:
+            node = node[p]
+        node[path[-1]] = jnp.asarray(val)
+    new_stats = flax.core.unfreeze(variables.get("batch_stats", {}))
+    for path, val in bn_stats.items():
+        node = new_stats
+        for p in path[:-1]:
+            node = node[p]
+        node[{"running_mean": "mean", "running_var": "var"}[path[-1]]] = \
+            jnp.asarray(val)
+
+    with torch.no_grad():
+        ref = net(torch.from_numpy(
+            np.transpose(x_np, (0, 4, 1, 2, 3)))).numpy()
+    ref_np = np.transpose(ref, (0, 2, 3, 4, 1))
+    got = np.asarray(model.apply(
+        {"params": new_params, "batch_stats": new_stats},
+        jnp.asarray(x_np), True), np.float32)
+    assert got.shape == ref_np.shape, (got.shape, ref_np.shape)
+    rel = np.abs(got - ref_np).max() / (np.abs(ref_np).max() + 1e-8)
+    assert rel < 2e-3, f"nnMamba rel err {rel}"

@@ -29,9 +29,10 @@ def test_segmamba_3d(rng):
 def test_lightm_unet(rng):
     from mlagg_unet_tpu.models.mamba_variants import LightMUNet
 
-    m = LightMUNet(num_classes=2, features=(4, 8, 16, 32))
-    out = _run(m, jnp.asarray(rng.randn(1, 16, 16, 1).astype(np.float32)))
-    assert out.shape == (1, 16, 16, 2)
+    m = LightMUNet(num_classes=2, init_filters=8)
+    out = _run(m, jnp.asarray(rng.randn(1, 32, 32, 1).astype(np.float32)))
+    assert out.shape == (1, 32, 32, 2)
+    assert bool(jnp.all(jnp.isfinite(out)))
 
 
 def test_ultralight_vmunet(rng):
@@ -46,9 +47,11 @@ def test_ultralight_vmunet(rng):
 def test_nnmamba(rng):
     from mlagg_unet_tpu.models.mamba_variants import NNMamba
 
-    m = NNMamba(num_classes=3, features=(8, 16, 32))
+    m = NNMamba(num_classes=3, channels=16,
+                strides=((1, 1), (2, 2), (2, 2), (2, 2)))
     out = _run(m, jnp.asarray(rng.randn(1, 16, 16, 1).astype(np.float32)))
     assert out.shape == (1, 16, 16, 3)
+    assert bool(jnp.all(jnp.isfinite(out)))
 
 
 def test_swin_unetr(rng):
