@@ -15,32 +15,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mlagg_unet_tpu.models.dynamic_unet import (
-    ConvNormAct,
-    StackedConvBlocks,
-    TransposedConvND,
-    lrelu,
-)
 from mlagg_unet_tpu.models.layers import InstanceNorm
 from mlagg_unet_tpu.models.mamba_block import MambaBlock
 from mlagg_unet_tpu.models.unetr_blocks import UnetrBasicBlock, UnetrUpBlock
-
-
-class _TokenMamba(nn.Module):
-    """LN -> Mamba over flattened spatial tokens, residual."""
-
-    d_state: int = 16
-
-    @nn.compact
-    def __call__(self, x):
-        B, *spatial, C = x.shape
-        L = 1
-        for s in spatial:
-            L *= s
-        t = x.reshape(B, L, C)
-        h = nn.LayerNorm(name="norm")(t)
-        h = MambaBlock(d_model=C, d_state=self.d_state, name="mamba")(h)
-        return (t + h).reshape(B, *spatial, C)
 
 
 class GSC(nn.Module):
@@ -306,10 +283,13 @@ class LightMUNet(nn.Module):
 
 
 class _PVMLayer(nn.Module):
-    """UltraLight VM-UNet parallel vision mamba: channels split into 4
-    groups, each through a shared-ish Mamba, concat + projection."""
+    """UltraLight VM-UNet PVM layer (nnUNetTrainer_UltraLightVMUNet.py:
+    84-119): shared LN -> channels chunked into 4 quarters, ONE shared
+    Mamba(d_model=C/4) on each + skip_scale-gated residual -> concat ->
+    the SAME LN again (shared parameters, a reference quirk) -> Linear."""
 
-    d_state: int = 8
+    output_dim: int
+    d_state: int = 16
 
     @nn.compact
     def __call__(self, x):
@@ -317,53 +297,130 @@ class _PVMLayer(nn.Module):
         L = 1
         for s in spatial:
             L *= s
-        t = nn.LayerNorm(name="norm")(x.reshape(B, L, C))
-        splits = jnp.split(t, 4, axis=-1)
-        outs = [
-            MambaBlock(d_model=C // 4, d_state=self.d_state,
-                       name=f"mamba{i}")(s_)
-            for i, s_ in enumerate(splits)
-        ]
-        h = jnp.concatenate(outs, axis=-1)
-        h = nn.Dense(C, name="proj")(h)
+        t = x.reshape(B, L, C)
+        norm = nn.LayerNorm(epsilon=1e-5, name="norm")
         skip_scale = self.param("skip_scale", nn.initializers.ones, (1,))
-        return (h + skip_scale * t).reshape(B, *spatial, C)
+        mamba = MambaBlock(d_model=C // 4, d_state=self.d_state,
+                           name="mamba")
+        tn = norm(t)
+        outs = [mamba(q) + skip_scale * q
+                for q in jnp.split(tn, 4, axis=-1)]
+        h = norm(jnp.concatenate(outs, axis=-1))
+        h = nn.Dense(self.output_dim, name="proj")(h)
+        return h.reshape(B, *spatial, self.output_dim)
+
+
+def _bilinear_ac(x, scale: int = 2):
+    """torch F.interpolate(mode='bilinear', align_corners=True): output
+    grid endpoints pinned to input endpoints (NOT half-pixel centers, so
+    jax.image.resize('linear') does not apply). Per-axis 1-D gathers."""
+    for ax in (1, 2):
+        n_in = x.shape[ax]
+        n_out = n_in * scale
+        if n_in == 1:
+            x = jnp.repeat(x, scale, axis=ax)
+            continue
+        pos = jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / (n_out - 1)
+        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 2)
+        w = (pos - lo.astype(jnp.float32))
+        shape = [1] * x.ndim
+        shape[ax] = n_out
+        w = w.reshape(shape)
+        x = (jnp.take(x, lo, axis=ax) * (1 - w)
+             + jnp.take(x, lo + 1, axis=ax) * w)
+    return x
+
+
+class _SCAttBridge(nn.Module):
+    """SC_Att_Bridge (:122-205): shared spatial attention (mean/max ->
+    dilated 7x7 conv -> sigmoid) with residual, then channel attention
+    (per-scale GAP concat -> shared conv1d over the channel axis ->
+    per-scale Linear -> sigmoid) with residual."""
+
+    c_list: Sequence[int]
+
+    @nn.compact
+    def __call__(self, ts):
+        satt_conv = nn.Conv(1, (7, 7), padding=9, kernel_dilation=3,
+                            name="satt_conv")
+
+        def satt(t):
+            stats = jnp.concatenate(
+                [jnp.mean(t, axis=-1, keepdims=True),
+                 jnp.max(t, axis=-1, keepdims=True)], axis=-1)
+            return jax.nn.sigmoid(satt_conv(stats))
+
+        r = ts
+        ts = [satt(t) * t for t in ts]
+        r_ = ts
+        ts = [t + ro for t, ro in zip(ts, r)]
+
+        pooled = jnp.concatenate(
+            [jnp.mean(t, axis=(1, 2)) for t in ts], axis=-1)  # (B, csum)
+        att = nn.Conv(1, (3,), padding=1, use_bias=False,
+                      name="get_all_att")(pooled[..., None])[..., 0]
+        outs = []
+        for i, t in enumerate(ts):
+            a = jax.nn.sigmoid(
+                nn.Dense(self.c_list[i], name=f"att{i + 1}")(att))
+            outs.append(a[:, None, None, :] * t + r_[i])
+        return outs
 
 
 class UltraLightVMUNet(nn.Module):
-    """UltraLight VM-UNet (nnUNetTrainer_UltraLightVMUNet.py): tiny conv
-    stem stages then PVM layers, additive-skip decoder. 2D."""
+    """UltraLight VM-UNet (nnUNetTrainer_UltraLightVMUNet.py:209-326):
+    3 conv + 3 PVM encoder stages (GN4 + maxpool + GELU), SC attention
+    bridge on the 5 skips, PVM/conv decoder with align-corners bilinear
+    upsampling and additive skips. 2D, no deep supervision (trainer:
+    AdamW 1e-3/1e-2 'from source code', cosine warmup).
+    Weight parity: tests/test_torch_parity.py::test_ultralight_parity."""
 
     num_classes: int
-    features: Sequence[int] = (8, 16, 24, 32, 48, 64)
+    c_list: Sequence[int] = (8, 16, 24, 32, 48, 64)
+    bridge: bool = True
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        f = self.features
-        skips = []
-        h = x
-        # 3 conv stages
-        for i in range(3):
-            h = nn.Conv(f[i], (3, 3), strides=(2, 2) if i > 0 else (1, 1),
-                        padding=1, name=f"enc_conv{i}")(h)
-            h = lrelu(InstanceNorm(name=f"enc_norm{i}")(h))
-            skips.append(h)
-        # 3 PVM stages
-        for i in range(3, 6):
-            h = nn.Conv(f[i], (3, 3), strides=(2, 2), padding=1,
-                        name=f"enc_down{i}")(h)
-            h = _PVMLayer(name=f"pvm{i}")(h)
-            if i < 5:
-                skips.append(h)
+        c = self.c_list
 
-        for i in range(4, -1, -1):
-            h = TransposedConvND(skips[i].shape[-1], [2, 2],
-                                 name=f"up{i}")(h)
-            h = h + skips[i]
-            h = nn.Conv(skips[i].shape[-1], (3, 3), padding=1,
-                        name=f"dec{i}")(h)
-            h = lrelu(h)
-        return nn.Conv(self.num_classes, (1, 1), name="seg")(h)
+        def gn4(h, name):
+            return nn.GroupNorm(num_groups=4, epsilon=1e-5, name=name)(h)
+
+        def pool_gelu(h):
+            h = nn.max_pool(h, (2, 2), strides=(2, 2))
+            return jax.nn.gelu(h, approximate=False)
+
+        ts = []
+        h = x
+        for i in range(3):
+            h = nn.Conv(c[i], (3, 3), padding=1, name=f"encoder{i + 1}")(h)
+            h = pool_gelu(gn4(h, f"ebn{i + 1}"))
+            ts.append(h)
+        for i in range(3, 5):
+            h = _PVMLayer(c[i], name=f"encoder{i + 1}")(h)
+            h = pool_gelu(gn4(h, f"ebn{i + 1}"))
+            ts.append(h)
+
+        if self.bridge:
+            ts = _SCAttBridge(c, name="scab")(ts)
+
+        h = jax.nn.gelu(_PVMLayer(c[5], name="encoder6")(h),
+                        approximate=False)
+
+        h = jax.nn.gelu(gn4(_PVMLayer(c[4], name="decoder1")(h), "dbn1"),
+                        approximate=False) + ts[4]
+        for i, (mod, ch) in enumerate(
+                [("pvm", c[3]), ("pvm", c[2]), ("conv", c[1]),
+                 ("conv", c[0])]):
+            name = f"decoder{i + 2}"
+            if mod == "pvm":
+                h = _PVMLayer(ch, name=name)(h)
+            else:
+                h = nn.Conv(ch, (3, 3), padding=1, name=name)(h)
+            h = jax.nn.gelu(_bilinear_ac(gn4(h, f"dbn{i + 2}")),
+                            approximate=False) + ts[3 - i]
+        h = nn.Conv(self.num_classes, (1, 1), name="final")(h)
+        return _bilinear_ac(h)
 
 
 class _NNDoubleConv(nn.Module):

@@ -320,10 +320,13 @@ register_trainer(replace(_default, name="nnUNetTrainer_LightMUNet",
                          enable_deep_supervision=False,
                          optimizer="adam_l2", initial_lr=1e-4,
                          weight_decay=1e-5, adam_eps=1e-5))
+# UltraLight VM-UNet: AdamW 1e-3/1e-2 ('from source code'), timm cosine
+# warmup (nnUNetTrainer_UltraLightVMUNet.py:18-22,66-72)
 register_trainer(replace(_default, name="nnUNetTrainer_UltraLightVMUNet",
                          network="ultralight_vmunet",
                          enable_deep_supervision=False, optimizer="adamw",
-                         initial_lr=1e-3))
+                         initial_lr=1e-3, weight_decay=1e-2,
+                         lr_scheduler="cosine_warmup", num_epochs=500))
 # nnMamba: AdamW 1e-4/1e-3, timm cosine + 10-epoch warmup, 500 epochs
 # (nnUNetTrainer_nnMamba.py:14-27,57-62); strides from the plan's pool ops
 register_trainer(replace(_default, name="nnUNetTrainer_nnMamba",

@@ -298,6 +298,24 @@ REFERENCE_NNMAMBA_RULES = [
 ]
 
 
+# UltraLight VM-UNet (nnUNetTrainer_UltraLightVMUNet.py:209-326).
+# Verified by test_torch_parity.py::test_ultralight_parity.
+REFERENCE_ULTRALIGHT_RULES = [
+    (r"^(encoder|decoder)(\d+)\.0\.", r"\1\2."),
+    (r"^scab\.catt\.get_all_att\.", "scab.get_all_att."),
+    (r"^scab\.catt\.att(\d+)\.", r"scab.att\1."),
+    (r"^scab\.satt\.shared_conv2d\.0\.", "scab.satt_conv."),
+    (r"\.dt_proj\.(weight|bias)$", r".dt_proj_\1"),
+]
+
+
+def convert_reference_ultralight_state_dict(state_dict
+                                            ) -> Dict[str, np.ndarray]:
+    """torch UltraLight_VM_UNet state_dict -> flax layout."""
+    return _convert_reference_state_dict(state_dict,
+                                         REFERENCE_ULTRALIGHT_RULES)
+
+
 def convert_reference_nnmamba_state_dict(state_dict
                                          ) -> Dict[str, np.ndarray]:
     """torch nnMambaSeg state_dict -> flax layout."""

@@ -1023,3 +1023,22 @@ def load_reference_nnmamba():
     exec(compile(src, str(NNMAMBA), "exec"), mod.__dict__)
     _cache["nnmamba"] = mod
     return mod
+
+
+ULTRALIGHT = UMAMBA_DIR / "nnUNetTrainer_UltraLightVMUNet.py"
+
+
+def load_reference_ultralight():
+    """Exec the reference UltraLight VM-UNet model section (from its torch
+    imports down)."""
+    if "ultralight" in _cache:
+        return _cache["ultralight"]
+    _install_dna_shims()
+
+    src = ULTRALIGHT.read_text()
+    src = src[src.index("import torch\nfrom torch import nn"):]
+    mod = types.ModuleType("ref_ultralight")
+    mod.__file__ = str(ULTRALIGHT)
+    exec(compile(src, str(ULTRALIGHT), "exec"), mod.__dict__)
+    _cache["ultralight"] = mod
+    return mod

@@ -920,3 +920,41 @@ def test_nnmamba_parity():
     assert got.shape == ref_np.shape, (got.shape, ref_np.shape)
     rel = np.abs(got - ref_np).max() / (np.abs(ref_np).max() + 1e-8)
     assert rel < 2e-3, f"nnMamba rel err {rel}"
+
+
+def test_ultralight_parity():
+    """UltraLight VM-UNet (nnUNetTrainer_UltraLightVMUNet.py:209-326):
+    PVM layers (4 channel quarters through ONE shared Mamba with shared
+    LN applied twice), SC attention bridge (shared dilated spatial conv +
+    channel attention over the concatenated GAPs), GN4 norms, GELU,
+    align-corners bilinear upsampling."""
+    import torch
+
+    from mlagg_unet_tpu.models.mamba_variants import UltraLightVMUNet
+    from mlagg_unet_tpu.training.torch_import import (
+        convert_reference_ultralight_state_dict,
+    )
+
+    m = rt.load_reference_ultralight()
+    torch.manual_seed(0)
+    net = m.UltraLight_VM_UNet(num_classes=3, input_channels=2,
+                               c_list=[8, 16, 24, 32, 48, 64],
+                               split_att="fc", bridge=True)
+    net.eval()
+    model = UltraLightVMUNet(num_classes=3)
+
+    converted = {tuple(k.split("/")): v for k, v in
+                 convert_reference_ultralight_state_dict(
+                     net.state_dict()).items()}
+    x_np = np.random.RandomState(19).randn(1, 64, 64, 2).astype(np.float32)
+    new_params = _load_params_strict(model, x_np, converted)
+
+    import jax.numpy as jnp
+    with torch.no_grad():
+        ref = net(torch.from_numpy(np.transpose(x_np, (0, 3, 1, 2))))
+    got = model.apply({"params": new_params}, jnp.asarray(x_np))
+    ref_np = np.transpose(ref.numpy(), (0, 2, 3, 1))
+    assert got.shape == ref_np.shape, (got.shape, ref_np.shape)
+    rel = np.abs(np.asarray(got) - ref_np).max() / (
+        np.abs(ref_np).max() + 1e-8)
+    assert rel < 2e-3, f"UltraLightVMUNet rel err {rel}"
