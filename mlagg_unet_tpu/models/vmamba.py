@@ -115,37 +115,160 @@ class PatchExpand2D(nn.Module):
         return nn.LayerNorm(name="norm")(x)
 
 
+class _V0Block(nn.Module):
+    """VM-UNet / Mamba-UNet VSSBlock (nnUNetTrainer_VMUNet.py:563-580):
+    LN -> SS2D (v0 cell, fp32 scan + z gate) -> DropPath residual. No MLP
+    (unlike the newer VMamba backbone blocks)."""
+
+    drop_path: float = 0.0
+    d_state: int = 16
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h = nn.LayerNorm(epsilon=1e-5, name="ln_1")(x)
+        h = SS2D(d_model=x.shape[-1], d_state=self.d_state, expand=2.0,
+                 forward_type="v0", name="self_attention")(h, deterministic)
+        return x + DropPath(self.drop_path)(h, deterministic)
+
+
+class _FinalExpand(nn.Module):
+    """Final_PatchExpand2D (nnUNetTrainer_VMUNet.py:311-327: Dense to
+    scale*dim, pixel-shuffle scale x scale, LN) and FinalPatchExpand_X4
+    (nnUNetTrainer_MambaUNet.py:317-333: Dense to 16*dim keeping dim
+    channels). ``expand_to`` is the Dense width; out channels =
+    expand_to // scale**2."""
+
+    expand_to: int
+    scale: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, _ = x.shape
+        p = self.scale
+        c = self.expand_to // (p * p)
+        x = nn.Dense(self.expand_to, use_bias=False, name="expand")(x)
+        x = x.reshape(B, H, W, p, p, c)
+        x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(B, p * H, p * W, c)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+
+
 class VMUNet(nn.Module):
-    """VM-UNet (nnUNetTrainer_VMUNet.py lineage): VSSM encoder + VSS-block
-    decoder with additive skips + stride-4 final expansion."""
+    """VM-UNet, faithful (nnUNetTrainer_VMUNet.py:713-880 VSSM + :853
+    VMUNet): patch-4 embed, encoder VSSLayers (no-MLP v0 blocks, merging
+    at stage end), decoder VSSLayer_ups that upsample FIRST then run
+    depths_decoder blocks, ADDITIVE skips taken from each stage's INPUT
+    (the stage-0 skip is never used — reference quirk, forward_features_up
+    :821-828), and a single x4 final expand + 1x1 conv. No deep
+    supervision (trainer subclasses nnUNetTrainerNoDeepSupervision).
+    Weight parity: tests/test_torch_parity.py::test_vmunet_parity."""
+
+    num_classes: int
+    depths: Sequence[int] = (2, 2, 2, 2)
+    depths_decoder: Sequence[int] = (2, 2, 2, 1)
+    dims: Sequence[int] = (96, 192, 384, 768)
+    d_state: int = 16
+    drop_path_rate: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True) -> jnp.ndarray:
+        import numpy as np
+
+        from mlagg_unet_tpu.models.layers import torch_bias_init
+
+        dims = self.dims
+        n = len(self.depths)
+        x = nn.Conv(dims[0], (4, 4), strides=(4, 4),
+                    bias_init=torch_bias_init(x.shape[-1] * 16),
+                    name="patch_embed")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)
+
+        dpr = [float(v) for v in
+               np.linspace(0, self.drop_path_rate, sum(self.depths))]
+        dpr_dec = [float(v) for v in
+                   np.linspace(0, self.drop_path_rate,
+                               sum(self.depths_decoder))][::-1]
+
+        skips = []
+        for i, depth in enumerate(self.depths):
+            skips.append(x)
+            for b in range(depth):
+                x = _V0Block(dpr[sum(self.depths[:i]) + b], self.d_state,
+                             name=f"layer{i}_block{b}")(x, deterministic)
+            if i < n - 1:
+                x = PatchMerging2D(dims[i + 1], name=f"downsample{i}")(x)
+
+        dims_dec = list(dims)[::-1]
+        for i, depth in enumerate(self.depths_decoder):
+            if i > 0:
+                x = x + skips[n - i]
+                x = PatchExpand2D(dims_dec[i], name=f"up{i}")(x)
+            for b in range(depth):
+                x = _V0Block(
+                    dpr_dec[sum(self.depths_decoder[:i]) + b],
+                    self.d_state,
+                    name=f"uplayer{i}_block{b}")(x, deterministic)
+        # Final_PatchExpand2D(dim=96, scale 4): Dense 96->384, out 24 ch
+        x = _FinalExpand(4 * dims[0], scale=4, name="final_up")(x)
+        return nn.Conv(self.num_classes, (1, 1), name="final_conv")(x)
+
+
+class MambaUNet(nn.Module):
+    """Mamba-UNet, faithful (nnUNetTrainer_MambaUNet.py:772-915 VSSM,
+    Swin-UNet style): patch-4 embed, encoder with end-of-stage merging and
+    a bottleneck LN, decoder that CONCATS skips + concat_back_dim Linear,
+    runs blocks THEN upsamples (VSSLayer_up :706-770 — opposite order to
+    VM-UNet), decoder drop-path REUSING the encoder schedule slices, final
+    LN + x4 expand (keeping embed_dim channels) + bias-free 1x1 conv.
+    Weight parity: tests/test_torch_parity.py::test_mamba_unet_parity."""
 
     num_classes: int
     depths: Sequence[int] = (2, 2, 2, 2)
     dims: Sequence[int] = (96, 192, 384, 768)
     d_state: int = 16
-    deep_supervision: bool = False
-    forward_type: str = "v2"
+    drop_path_rate: float = 0.2
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True
-                 ) -> Union[jnp.ndarray, List[jnp.ndarray]]:
-        B, H, W, _ = x.shape
-        feats = VSSM(depths=self.depths, dims=self.dims,
-                     d_state=self.d_state, forward_type=self.forward_type,
-                     name="vssm")(x, deterministic)
-        h = feats[-1]
-        ds = []
-        for i in range(len(self.dims) - 2, -1, -1):
-            if self.deep_supervision:
-                ds.append(OutBlock(self.num_classes, name=f"out_{i+1}")(h))
-            h = PatchExpand2D(self.dims[i], name=f"up_{i}")(h)
-            h = h + feats[i]
-            h = VSSBlock(d_state=self.d_state, name=f"dec_block_{i}")(
-                h, deterministic)
-        # final x4 upsample back to input resolution
-        h = PatchExpand2D(self.dims[0] // 2, name="up_final_a")(h)
-        h = PatchExpand2D(self.dims[0] // 4, name="up_final_b")(h)
-        out = OutBlock(self.num_classes, name="out_0")(h)
-        if self.deep_supervision:
-            return [out] + ds[::-1]
-        return out
+    def __call__(self, x, deterministic: bool = True) -> jnp.ndarray:
+        import numpy as np
+
+        from mlagg_unet_tpu.models.layers import torch_bias_init
+
+        dims = self.dims
+        n = len(self.depths)
+        x = nn.Conv(dims[0], (4, 4), strides=(4, 4),
+                    bias_init=torch_bias_init(x.shape[-1] * 16),
+                    name="patch_embed")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)
+
+        dpr = [float(v) for v in
+               np.linspace(0, self.drop_path_rate, sum(self.depths))]
+
+        skips = []
+        for i, depth in enumerate(self.depths):
+            skips.append(x)
+            for b in range(depth):
+                x = _V0Block(dpr[sum(self.depths[:i]) + b], self.d_state,
+                             name=f"layer{i}_block{b}")(x, deterministic)
+            if i < n - 1:
+                x = PatchMerging2D(dims[i + 1], name=f"downsample{i}")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+
+        for i in range(n):
+            if i == 0:
+                # layers_up.0 is a bare PatchExpand
+                x = PatchExpand2D(dims[n - 1] // 2, name="up0")(x)
+                continue
+            x = jnp.concatenate([x, skips[n - 1 - i]], axis=-1)
+            x = nn.Dense(dims[n - 1 - i], name=f"concat_back{i}")(x)
+            depth = self.depths[n - 1 - i]
+            for b in range(depth):
+                x = _V0Block(
+                    dpr[sum(self.depths[:n - 1 - i]) + b], self.d_state,
+                    name=f"uplayer{i}_block{b}")(x, deterministic)
+            if i < n - 1:
+                x = PatchExpand2D(dims[n - 1 - i] // 2, name=f"up{i}")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm_up")(x)
+        # FinalPatchExpand_X4: Dense 96->16*96, out keeps 96 channels
+        x = _FinalExpand(16 * dims[0], scale=4, name="up")(x)
+        return nn.Conv(self.num_classes, (1, 1), use_bias=False,
+                       name="output")(x)

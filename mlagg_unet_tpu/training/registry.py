@@ -247,15 +247,18 @@ def _build_vmunet(configuration_manager, num_input_channels,
     from mlagg_unet_tpu.models.vmamba import VMUNet
 
     assert len(configuration_manager.patch_size) == 2, "VM-UNet is 2D"
-    return VMUNet(num_classes=num_output_channels,
-                  deep_supervision=deep_supervision)
+    return VMUNet(num_classes=num_output_channels)
 
 
 NETWORK_BUILDERS["vmunet"] = _build_vmunet
 
+# VM-UNet: AdamW 1e-4/1e-3, timm cosine warmup, 500 epochs, no deep
+# supervision (nnUNetTrainer_VMUNet.py:15-28,58-64)
 register_trainer(replace(_default, name="nnUNetTrainer_VMUNet",
-                         network="vmunet", optimizer="adamw",
-                         initial_lr=1e-3))
+                         network="vmunet", enable_deep_supervision=False,
+                         optimizer="adamw", initial_lr=1e-4,
+                         weight_decay=1e-3, lr_scheduler="cosine_warmup",
+                         num_epochs=500))
 
 
 def _make_simple_builder(module_path: str, cls_name: str, two_d_only=False,
@@ -356,12 +359,12 @@ NETWORK_BUILDERS.update({
 
 def _build_mamba_unet(configuration_manager, num_input_channels,
                       num_output_channels, deep_supervision):
-    from mlagg_unet_tpu.models.vmamba import VMUNet
+    from mlagg_unet_tpu.models.vmamba import MambaUNet
 
     assert len(configuration_manager.patch_size) == 2, "MambaUNet is 2D"
-    return VMUNet(num_classes=num_output_channels,
-                  depths=(2, 2, 2, 2), dims=(48, 96, 192, 384),
-                  deep_supervision=deep_supervision)
+    # reference builder: VSSM(depths=[2,2,2,2], drop_path_rate=0.2)
+    # (nnUNetTrainer_MambaUNet.py:37-40)
+    return MambaUNet(num_classes=num_output_channels)
 
 
 NETWORK_BUILDERS["mamba_unet"] = _build_mamba_unet

@@ -279,6 +279,46 @@ def convert_reference_lightm_state_dict(state_dict) -> Dict[str, np.ndarray]:
     return _convert_reference_state_dict(state_dict, REFERENCE_LIGHTM_RULES)
 
 
+# VM-UNet (nnUNetTrainer_VMUNet.py:713-880). SS2D-internal names match our
+# cell directly (see test_vmamba_ss2d_cell_parity's empty rule set).
+# Verified by test_torch_parity.py::test_vmunet_parity.
+REFERENCE_VMUNET_RULES = [
+    (r"^vmunet\.patch_embed\.proj\.", "patch_embed."),
+    (r"^vmunet\.patch_embed\.norm\.", "patch_norm."),
+    (r"^vmunet\.layers\.(\d+)\.blocks\.(\d+)\.", r"layer\1_block\2."),
+    (r"^vmunet\.layers\.(\d+)\.downsample\.", r"downsample\1."),
+    (r"^vmunet\.layers_up\.(\d+)\.blocks\.(\d+)\.", r"uplayer\1_block\2."),
+    (r"^vmunet\.layers_up\.(\d+)\.upsample\.", r"up\1."),
+    (r"^vmunet\.", ""),                      # final_up / final_conv
+]
+
+
+def convert_reference_vmunet_state_dict(state_dict) -> Dict[str, np.ndarray]:
+    """torch VMUNet state_dict -> flax layout."""
+    return _convert_reference_state_dict(state_dict, REFERENCE_VMUNET_RULES)
+
+
+# Mamba-UNet (nnUNetTrainer_MambaUNet.py:772-915, Swin-UNet-style VSSM).
+# Verified by test_torch_parity.py::test_mamba_unet_parity.
+REFERENCE_MAMBA_UNET_RULES = [
+    (r"^patch_embed\.proj\.", "patch_embed."),
+    (r"^patch_embed\.norm\.", "patch_norm."),
+    (r"^layers\.(\d+)\.blocks\.(\d+)\.", r"layer\1_block\2."),
+    (r"^layers\.(\d+)\.downsample\.", r"downsample\1."),
+    (r"^layers_up\.0\.", "up0."),
+    (r"^layers_up\.(\d+)\.blocks\.(\d+)\.", r"uplayer\1_block\2."),
+    (r"^layers_up\.(\d+)\.upsample\.", r"up\1."),
+    (r"^concat_back_dim\.(\d+)\.", r"concat_back\1."),
+]
+
+
+def convert_reference_mamba_unet_state_dict(state_dict
+                                            ) -> Dict[str, np.ndarray]:
+    """torch Mamba-UNet VSSM state_dict -> flax layout."""
+    return _convert_reference_state_dict(state_dict,
+                                         REFERENCE_MAMBA_UNET_RULES)
+
+
 # nnMamba (nnUNetTrainer_nnMamba.py:237-296). BatchNorm running stats come
 # out as running_mean/running_var for the caller's batch_stats collection.
 # The layer-shared MambaLayer appears under BOTH owning blocks in the torch

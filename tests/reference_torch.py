@@ -1042,3 +1042,54 @@ def load_reference_ultralight():
     exec(compile(src, str(ULTRALIGHT), "exec"), mod.__dict__)
     _cache["ultralight"] = mod
     return mod
+
+
+VMUNET_FILE = UMAMBA_DIR / "nnUNetTrainer_VMUNet.py"
+MAMBAUNET_FILE = UMAMBA_DIR / "nnUNetTrainer_MambaUNet.py"
+
+
+def _install_fvcore_shim():
+    if "fvcore" in sys.modules:
+        return
+    fv = types.ModuleType("fvcore")
+    fvnn = types.ModuleType("fvcore.nn")
+    for name in ("FlopCountAnalysis", "flop_count_str", "flop_count",
+                 "parameter_count"):
+        setattr(fvnn, name, lambda *a, **k: None)
+    fv.nn = fvnn
+    sys.modules["fvcore"] = fv
+    sys.modules["fvcore.nn"] = fvnn
+
+
+def load_reference_vmunet():
+    """Exec the reference VM-UNet model section (VSSM/VMUNet; the file's
+    trailing MambaUnet-with-config section is cut at its second
+    `from __future__` block)."""
+    if "vmunet" in _cache:
+        return _cache["vmunet"]
+    _install_dna_shims()
+
+    src = VMUNET_FILE.read_text()
+    src = src[src.index("import time\nimport math"):]
+    mod = types.ModuleType("ref_vmunet")
+    mod.__file__ = str(VMUNET_FILE)
+    exec(compile(src, str(VMUNET_FILE), "exec"), mod.__dict__)
+    _cache["vmunet"] = mod
+    return mod
+
+
+def load_reference_mamba_unet():
+    """Exec the reference Mamba-UNet model section (Swin-UNet-style VSSM)."""
+    if "mamba_unet" in _cache:
+        return _cache["mamba_unet"]
+    _install_dna_shims()
+    _install_fvcore_shim()
+
+    src = MAMBAUNET_FILE.read_text()
+    src = src[src.index("import time\nimport math"):
+              src.index("from __future__ import absolute_import")]
+    mod = types.ModuleType("ref_mamba_unet")
+    mod.__file__ = str(MAMBAUNET_FILE)
+    exec(compile(src, str(MAMBAUNET_FILE), "exec"), mod.__dict__)
+    _cache["mamba_unet"] = mod
+    return mod

@@ -958,3 +958,76 @@ def test_ultralight_parity():
     rel = np.abs(np.asarray(got) - ref_np).max() / (
         np.abs(ref_np).max() + 1e-8)
     assert rel < 2e-3, f"UltraLightVMUNet rel err {rel}"
+
+
+def test_vmunet_parity():
+    """VM-UNet (nnUNetTrainer_VMUNet.py:713-880): no-MLP v0 VSSBlocks,
+    upsample-FIRST decoder layers with additive pre-layer skips (stage-0
+    skip unused), single x4 final expand + 1x1 conv."""
+    import torch
+
+    from mlagg_unet_tpu.models.vmamba import VMUNet
+    from mlagg_unet_tpu.training.torch_import import (
+        convert_reference_vmunet_state_dict,
+    )
+
+    m = rt.load_reference_vmunet()
+    torch.manual_seed(0)
+    net = m.VMUNet(input_channels=2, num_classes=3, depths=[1, 1, 1, 1],
+                   depths_decoder=[1, 1, 1, 1], drop_path_rate=0.0)
+    net.eval()
+    model = VMUNet(num_classes=3, depths=(1, 1, 1, 1),
+                   depths_decoder=(1, 1, 1, 1), drop_path_rate=0.0)
+
+    converted = {tuple(k.split("/")): v for k, v in
+                 convert_reference_vmunet_state_dict(
+                     net.state_dict()).items()}
+    x_np = np.random.RandomState(23).randn(1, 64, 64, 2).astype(np.float32)
+    new_params = _load_params_strict(model, x_np, converted)
+
+    import jax.numpy as jnp
+    with torch.no_grad():
+        ref = net(torch.from_numpy(np.transpose(x_np, (0, 3, 1, 2))))
+    got = model.apply({"params": new_params}, jnp.asarray(x_np))
+    ref_np = np.transpose(ref.numpy(), (0, 2, 3, 1))
+    assert got.shape == ref_np.shape, (got.shape, ref_np.shape)
+    rel = np.abs(np.asarray(got) - ref_np).max() / (
+        np.abs(ref_np).max() + 1e-8)
+    assert rel < 2e-3, f"VMUNet rel err {rel}"
+
+
+def test_mamba_unet_parity():
+    """Mamba-UNet (nnUNetTrainer_MambaUNet.py:772-915): Swin-UNet-style
+    VSSM — bottleneck LN, CONCAT skips + concat_back_dim Linears,
+    blocks-then-upsample decoder layers reusing the encoder drop-path
+    schedule, final LN + x4 expand keeping embed_dim + bias-free conv."""
+    import torch
+
+    from mlagg_unet_tpu.models.vmamba import MambaUNet
+    from mlagg_unet_tpu.training.torch_import import (
+        convert_reference_mamba_unet_state_dict,
+    )
+
+    m = rt.load_reference_mamba_unet()
+    torch.manual_seed(0)
+    net = m.VSSM(in_chans=2, num_classes=3, depths=[1, 1, 1, 1],
+                 drop_path_rate=0.0)
+    net.eval()
+    model = MambaUNet(num_classes=3, depths=(1, 1, 1, 1),
+                      drop_path_rate=0.0)
+
+    converted = {tuple(k.split("/")): v for k, v in
+                 convert_reference_mamba_unet_state_dict(
+                     net.state_dict()).items()}
+    x_np = np.random.RandomState(29).randn(1, 64, 64, 2).astype(np.float32)
+    new_params = _load_params_strict(model, x_np, converted)
+
+    import jax.numpy as jnp
+    with torch.no_grad():
+        ref = net(torch.from_numpy(np.transpose(x_np, (0, 3, 1, 2))))
+    got = model.apply({"params": new_params}, jnp.asarray(x_np))
+    ref_np = np.transpose(ref.numpy(), (0, 2, 3, 1))
+    assert got.shape == ref_np.shape, (got.shape, ref_np.shape)
+    rel = np.abs(np.asarray(got) - ref_np).max() / (
+        np.abs(ref_np).max() + 1e-8)
+    assert rel < 2e-3, f"MambaUNet rel err {rel}"
