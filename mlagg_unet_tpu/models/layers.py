@@ -215,6 +215,10 @@ class ConvTransposeTorch(nn.Module):
     feature_group_count: int = 1
     use_bias: bool = True
     spatial_dims: int = 2
+    # torch output_padding: extra rows on the bottom/right —
+    # out = (in-1)*s - 2p + k + op (monai picks op = s + 2p - k so the
+    # output is exactly stride * input for any kernel)
+    output_padding: Union[int, Sequence[int]] = 0
 
     @nn.compact
     def __call__(self, x):
@@ -222,6 +226,7 @@ class ConvTransposeTorch(nn.Module):
         ks = _per_axis(self.kernel_size, d)
         ss = _per_axis(self.stride, d)
         ps = _per_axis(self.padding, d)
+        ops = _per_axis(self.output_padding, d)
         cin = x.shape[-1]
         assert cin % self.feature_group_count == 0
         kernel = self.param(
@@ -240,7 +245,8 @@ class ConvTransposeTorch(nn.Module):
             x,
             kern,
             window_strides=(1,) * d,
-            padding=tuple((k - 1 - p, k - 1 - p) for k, p in zip(ks, ps)),
+            padding=tuple((k - 1 - p, k - 1 - p + op)
+                          for k, p, op in zip(ks, ps, ops)),
             lhs_dilation=ss,
             dimension_numbers=conv_dim_numbers(d),
             feature_group_count=self.feature_group_count,

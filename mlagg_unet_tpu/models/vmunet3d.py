@@ -325,8 +325,10 @@ class PatchMerging3D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # torch Conv3d(k=3, stride, padding=1): symmetric pad — NOT 'SAME',
+        # which pads asymmetrically under stride 2 and shifts the windows
         h = nn.Conv(self.out_dim, (3, 3, 3), strides=tuple(self.stride),
-                    padding="SAME", name="reduction")(x)
+                    padding=1, name="reduction")(x)
         return nn.LayerNorm(name="norm")(h)
 
 
@@ -395,15 +397,25 @@ class _ResBlockND(nn.Module):
 
 
 class _UpBlockND(nn.Module):
-    """monai UnetrUpBlock: transp-conv upsample -> concat skip -> res block."""
+    """monai UnetrUpBlock: transp-conv upsample -> concat skip -> res block.
+    monai's transposed conv uses k = s = upsample_kernel_size with
+    padding (k-1)//2 and output_padding s+2p-k so the output is exactly
+    stride * input — for k > 3 (e.g. the stage-0 stride [2,4,4]) this is
+    NOT the padding-0 kernel TransposedConvND implements."""
 
     out_channels: int
     upsample_strides: Sequence[int]
 
     @nn.compact
     def __call__(self, x, skip):
-        up = TransposedConvND(self.out_channels, list(self.upsample_strides),
-                              name="transp_conv")(x)
+        from mlagg_unet_tpu.models.layers import ConvTransposeTorch
+
+        ks = tuple(self.upsample_strides)
+        ps = tuple((k - 1) // 2 for k in ks)
+        ops = tuple(s + 2 * p - k for s, p, k in zip(ks, ps, ks))
+        up = ConvTransposeTorch(self.out_channels, ks, ks, ps,
+                                spatial_dims=len(ks), output_padding=ops,
+                                name="transp_conv")(x)
         out = jnp.concatenate([up, skip], axis=-1)
         return _ResBlockND(self.out_channels, name="conv_block")(out)
 

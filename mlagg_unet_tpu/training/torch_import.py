@@ -319,6 +319,34 @@ def convert_reference_mamba_unet_state_dict(state_dict
                                          REFERENCE_MAMBA_UNET_RULES)
 
 
+# VM-UNet-3D / VSSM_UNETR (nnUNetTrainer_VMUNet3D.py:660-808: 3D VSSM with
+# 12-direction SS3D cells + UNETR decoder). Verified by
+# test_torch_parity.py::test_vmunet3d_parity.
+REFERENCE_VMUNET3D_RULES = [
+    (r"^vssm\.downsample\.0\.", "vssm.patch_embed."),
+    # PatchMerging3D.reduction = Sequential[Permute, Conv3d, Permute, LN]
+    (r"^vssm\.downsample\.(\d+)\.reduction\.1\.",
+     r"vssm.merge\1.reduction."),
+    (r"^vssm\.downsample\.(\d+)\.reduction\.3\.", r"vssm.merge\1.norm."),
+    (r"^vssm\.layers\.(\d+)\.blocks\.(\d+)\.", r"vssm.stage\1_block\2."),
+    (r"\.mlp\.dwconv\.dwconv\.", ".mlp.dwconv."),
+    (r"^(encoder\d)\.layer\.", r"\1."),
+    (r"\.transp_conv\.conv\.", ".transp_conv."),
+    (r"\.(conv1|conv2|conv3)\.conv\.", r".\1."),
+    (r"^((?:encoder|decoder)\d.*)\.(norm1|norm2|norm3)\.",
+     r"\1.\2.GroupNorm_0."),
+    (r"^out\.conv\.conv\.", "out."),
+]
+
+
+def convert_reference_vmunet3d_state_dict(state_dict
+                                          ) -> Dict[str, np.ndarray]:
+    """torch VSSM_UNETR state_dict -> flax layout (K=12 scan directions)."""
+    return _convert_reference_state_dict(state_dict,
+                                         REFERENCE_VMUNET3D_RULES,
+                                         k_dirs=12)
+
+
 # nnMamba (nnUNetTrainer_nnMamba.py:237-296). BatchNorm running stats come
 # out as running_mean/running_var for the caller's batch_stats collection.
 # The layer-shared MambaLayer appears under BOTH owning blocks in the torch
@@ -363,7 +391,8 @@ def convert_reference_nnmamba_state_dict(state_dict
                                          REFERENCE_NNMAMBA_RULES)
 
 
-def _convert_reference_state_dict(state_dict, rules) -> Dict[str, np.ndarray]:
+def _convert_reference_state_dict(state_dict, rules,
+                                  k_dirs: int = 4) -> Dict[str, np.ndarray]:
     out = {}
     for key, tensor in state_dict.items():
         if key.startswith("module."):
@@ -372,13 +401,14 @@ def _convert_reference_state_dict(state_dict, rules) -> Dict[str, np.ndarray]:
             continue
         arr = np.asarray(tensor.detach().cpu().numpy()
                          if hasattr(tensor, "detach") else tensor)
-        # reference merges the K=4 scan directions: A_logs (K*d, n),
-        # Ds (K*d,) (MambaSkip.py:339-341); ours keep the K axis
+        # reference merges the K scan directions: A_logs (K*d, n),
+        # Ds (K*d,) (MambaSkip.py:339-341; K=12 for the VMUNet3D SS3D);
+        # ours keep the K axis
         leaf_name = key.split(".")[-1]
         if leaf_name == "A_logs":
-            arr = arr.reshape(4, -1, arr.shape[-1])
+            arr = arr.reshape(k_dirs, -1, arr.shape[-1])
         elif leaf_name == "Ds":
-            arr = arr.reshape(4, -1)
+            arr = arr.reshape(k_dirs, -1)
         elif leaf_name in ("A_log", "A_b_log", "A_s_log") and arr.ndim == 2:
             # mamba_ssm keeps (d, n); our MambaBlock holds (1, d, n)
             # (_b/_s: SegMamba tri-orientated branches)

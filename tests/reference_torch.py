@@ -1093,3 +1093,30 @@ def load_reference_mamba_unet():
     exec(compile(src, str(MAMBAUNET_FILE), "exec"), mod.__dict__)
     _cache["mamba_unet"] = mod
     return mod
+
+
+VMUNET3D_FILE = UMAMBA_DIR / "nnUNetTrainer_VMUNet3D.py"
+
+
+def load_reference_vmunet3d():
+    """Exec the reference VM-UNet-3D model section (PatchEmbed3D /
+    PatchMerging3D / 12-direction SS3D / ConvolutionalGLU VSSBlocks /
+    VSSM / VSSM_UNETR)."""
+    if "vmunet3d" in _cache:
+        return _cache["vmunet3d"]
+    _install_dna_shims()
+
+    src = VMUNET3D_FILE.read_text()
+    src = src[src.index("import time\nimport math"):]
+    if 'if __name__ ==' in src:
+        src = src[: src.index("if __name__ ==")]
+    # newer torch rejects the reference's aliased in-place writes
+    # (out_y[:, k] = out_y[:, k].view(...).permute(...)); cloning the RHS
+    # source is numerically identical
+    import re as _re2
+    src = _re2.sub(r"= (out_y\[:, \d+\])\.view", r"= \1.clone().view", src)
+    mod = types.ModuleType("ref_vmunet3d")
+    mod.__file__ = str(VMUNET3D_FILE)
+    exec(compile(src, str(VMUNET3D_FILE), "exec"), mod.__dict__)
+    _cache["vmunet3d"] = mod
+    return mod

@@ -1031,3 +1031,41 @@ def test_mamba_unet_parity():
     rel = np.abs(np.asarray(got) - ref_np).max() / (
         np.abs(ref_np).max() + 1e-8)
     assert rel < 2e-3, f"MambaUNet rel err {rel}"
+
+
+def test_vmunet3d_parity():
+    """VM-UNet-3D / VSSM_UNETR (nnUNetTrainer_VMUNet3D.py:660-808): 3D
+    VSSM encoder with 12-direction SS3D cells (6 axis orders x fwd/rev)
+    and ConvolutionalGLU mlps, monai UNETR decoder with anisotropic
+    strides [[2,4,4],[2,2,2],[2,2,2],[1,2,2]]."""
+    import torch
+
+    from mlagg_unet_tpu.models.vmunet3d import VMUNet3D
+    from mlagg_unet_tpu.training.torch_import import (
+        convert_reference_vmunet3d_state_dict,
+    )
+
+    m = rt.load_reference_vmunet3d()
+    torch.manual_seed(0)
+    net = m.VSSM_UNETR(in_chans=1, classes=2, depths=[1, 1, 1, 1],
+                       dims=[8, 16, 24, 32], drop_path_rate=0.0)
+    net.eval()
+    model = VMUNet3D(num_classes=2, depths=(1, 1, 1, 1),
+                     dims=(8, 16, 24, 32))
+
+    converted = {tuple(k.split("/")): v for k, v in
+                 convert_reference_vmunet3d_state_dict(
+                     net.state_dict()).items()}
+    x_np = np.random.RandomState(31).randn(1, 8, 64, 64, 1
+                                           ).astype(np.float32)
+    new_params = _load_params_strict(model, x_np, converted)
+
+    import jax.numpy as jnp
+    with torch.no_grad():
+        ref = net(torch.from_numpy(np.transpose(x_np, (0, 4, 1, 2, 3))))
+    got = model.apply({"params": new_params}, jnp.asarray(x_np))
+    ref_np = np.transpose(ref.numpy(), (0, 2, 3, 4, 1))
+    assert got.shape == ref_np.shape, (got.shape, ref_np.shape)
+    rel = np.abs(np.asarray(got) - ref_np).max() / (
+        np.abs(ref_np).max() + 1e-8)
+    assert rel < 2e-3, f"VMUNet3D rel err {rel}"
