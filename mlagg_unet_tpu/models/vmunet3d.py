@@ -80,6 +80,10 @@ class SS3D12(nn.Module):
     d_state: int = 16
     d_conv: int = 3
     expand: float = 2.0
+    # the *_woinit_new trainers remove the z gate: in_proj emits d_inner
+    # only and the SiLU(z) multiply disappears
+    # (nnUNetTrainer_VMUNet3D_woinit_new.py:246-248,437-448)
+    no_z: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -89,8 +93,12 @@ class SS3D12(nn.Module):
         K = 12
         L = Dz * H * W
 
-        xz = nn.Dense(2 * d_inner, use_bias=False, name="in_proj")(x)
-        xh, z = jnp.split(xz, 2, axis=-1)
+        if self.no_z:
+            xh = nn.Dense(d_inner, use_bias=False, name="in_proj")(x)
+            z = None
+        else:
+            xz = nn.Dense(2 * d_inner, use_bias=False, name="in_proj")(x)
+            xh, z = jnp.split(xz, 2, axis=-1)
         xh = nn.Conv(d_inner, (self.d_conv,) * 3, padding="SAME",
                      feature_group_count=d_inner, name="conv3d")(xh)
         xh = jax.nn.silu(xh)
@@ -123,7 +131,8 @@ class SS3D12(nn.Module):
         y = jnp.swapaxes(y, 1, 2)
         y = nn.LayerNorm(name="out_norm")(y)
         y = y.reshape(B, Dz, H, W, d_inner)
-        y = y * jax.nn.silu(z)
+        if z is not None:
+            y = y * jax.nn.silu(z)
         return nn.Dense(self.d_model, use_bias=False, name="out_proj")(y)
 
 
@@ -151,14 +160,15 @@ class VSSBlock3D(nn.Module):
     d_state: int = 16
     expand: float = 2.0
     mlp_ratio: float = 4.0
+    no_z: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         dim = x.shape[-1]
         h = nn.LayerNorm(name="norm")(x)
         x = x + SS3D12(d_model=dim, d_state=self.d_state,
-                       expand=self.expand, name="self_attention")(
-                           h, deterministic)
+                       expand=self.expand, no_z=self.no_z,
+                       name="self_attention")(h, deterministic)
         h = nn.LayerNorm(name="norm2")(x)
         return x + ConvGLU3D(int(dim * self.mlp_ratio), name="mlp")(h)
 
@@ -345,6 +355,7 @@ class VSSM3D(nn.Module):
     last_stage_swin: bool = False
     num_heads: int = 24
     window_size: Sequence[int] = (5, 6, 7)
+    no_z: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True) -> List[jnp.ndarray]:
@@ -367,6 +378,7 @@ class VSSM3D(nn.Module):
                     h = VSSBlock3D(d_state=self.d_state,
                                    expand=self.ssm_ratio,
                                    mlp_ratio=self.mlp_ratio,
+                                   no_z=self.no_z,
                                    name=f"stage{i}_block{j}")(
                                        h, deterministic)
             outs.append(h)
@@ -436,6 +448,10 @@ class VMUNet3D(nn.Module):
     last_stage_swin: bool = False
     num_heads: int = 24
     window_size: Sequence[int] = (5, 6, 7)
+    # *_woinit_new: no z gate in SS3D, encoder5 removed (decoder4 consumes
+    # the raw bottleneck, nnUNetTrainer_VMUNet3D_woinit_new.py:752-811)
+    no_z: bool = False
+    use_encoder5: bool = True
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -444,12 +460,13 @@ class VMUNet3D(nn.Module):
             d_state=self.d_state, ssm_ratio=self.ssm_ratio,
             mlp_ratio=self.mlp_ratio, last_stage_swin=self.last_stage_swin,
             num_heads=self.num_heads, window_size=self.window_size,
-            name="vssm")(x, deterministic)
+            no_z=self.no_z, name="vssm")(x, deterministic)
         enc1 = _ResBlockND(self.dims[0], name="encoder1")(x)
         enc2 = _ResBlockND(self.dims[0], name="encoder2")(feats[0])
         enc3 = _ResBlockND(self.dims[1], name="encoder3")(feats[1])
         enc4 = _ResBlockND(self.dims[2], name="encoder4")(feats[2])
-        hidden = _ResBlockND(self.dims[3], name="encoder5")(feats[3])
+        hidden = _ResBlockND(self.dims[3], name="encoder5")(feats[3]) \
+            if self.use_encoder5 else feats[3]
         h = _UpBlockND(self.dims[2], self.strides[3], name="decoder4")(
             hidden, enc4)
         h = _UpBlockND(self.dims[1], self.strides[2], name="decoder3")(

@@ -435,23 +435,29 @@ register_trainer(replace(_default, name="nnUNetTrainer_MedNeXt_Mambaskip",
 
 
 # VM-UNet-3D family (nnUNetTrainer_VMUNet3D*.py: VSSM_UNETR, AdamW 1e-4,
-# wd 1e-2, timm cosine warmup-10, 500 epochs, no deep supervision; the
-# *_woinit / *_woinit_new trainers ship the identical network build — the
-# names differ only by commented-out InitWeights_He lines in the reference).
-def _make_vmunet3d_builder(swin: bool):
+# wd 1e-2, timm cosine warmup-10, 500 epochs, no deep supervision).
+# *_woinit only comments out the init (same architecture); *_woinit_new
+# additionally removes the SS3D z gate AND the encoder5 bottleneck
+# res-block (nnUNetTrainer_VMUNet3D_woinit_new.py:246-248,752-811);
+# *_SwinT further swaps the last VSSM stage for a 3D shifted-window
+# transformer layer.
+def _make_vmunet3d_builder(swin: bool = False, new: bool = False):
     def build(configuration_manager, num_input_channels, num_output_channels,
               deep_supervision):
         from mlagg_unet_tpu.models.vmunet3d import VMUNet3D
 
         assert len(configuration_manager.patch_size) == 3, "VMUNet3D is 3D"
         return VMUNet3D(num_classes=num_output_channels,
-                        last_stage_swin=swin)
+                        last_stage_swin=swin, no_z=new,
+                        use_encoder5=not new)
 
     return build
 
 
-NETWORK_BUILDERS["vmunet3d"] = _make_vmunet3d_builder(False)
-NETWORK_BUILDERS["vmunet3d_swint"] = _make_vmunet3d_builder(True)
+NETWORK_BUILDERS["vmunet3d"] = _make_vmunet3d_builder()
+NETWORK_BUILDERS["vmunet3d_new"] = _make_vmunet3d_builder(new=True)
+NETWORK_BUILDERS["vmunet3d_swint"] = _make_vmunet3d_builder(swin=True,
+                                                            new=True)
 
 _vmunet3d = replace(_default, name="nnUNetTrainer_VMUNet3D",
                     network="vmunet3d", optimizer="adamw", initial_lr=1e-4,
@@ -459,7 +465,8 @@ _vmunet3d = replace(_default, name="nnUNetTrainer_VMUNet3D",
                     num_epochs=500, enable_deep_supervision=False)
 register_trainer(_vmunet3d)
 register_trainer(replace(_vmunet3d, name="nnUNetTrainer_VMUNet3D_woinit"))
-register_trainer(replace(_vmunet3d, name="nnUNetTrainer_VMUNet3D_woinit_new"))
+register_trainer(replace(_vmunet3d, name="nnUNetTrainer_VMUNet3D_woinit_new",
+                         network="vmunet3d_new"))
 register_trainer(replace(_vmunet3d,
                          name="nnUNetTrainer_VMUNet3D_woinit_new_SwinT",
                          network="vmunet3d_swint"))

@@ -1098,15 +1098,18 @@ def load_reference_mamba_unet():
 VMUNET3D_FILE = UMAMBA_DIR / "nnUNetTrainer_VMUNet3D.py"
 
 
-def load_reference_vmunet3d():
-    """Exec the reference VM-UNet-3D model section (PatchEmbed3D /
+def load_reference_vmunet3d(which: str = ""):
+    """Exec a reference VM-UNet-3D model section (PatchEmbed3D /
     PatchMerging3D / 12-direction SS3D / ConvolutionalGLU VSSBlocks /
-    VSSM / VSSM_UNETR)."""
-    if "vmunet3d" in _cache:
-        return _cache["vmunet3d"]
+    VSSM / VSSM_UNETR). ``which`` in {"", "_woinit", "_woinit_new",
+    "_woinit_new_SwinT"} selects the variant file."""
+    key = f"vmunet3d{which}"
+    if key in _cache:
+        return _cache[key]
     _install_dna_shims()
 
-    src = VMUNET3D_FILE.read_text()
+    path = UMAMBA_DIR / f"nnUNetTrainer_VMUNet3D{which}.py"
+    src = path.read_text()
     src = src[src.index("import time\nimport math"):]
     if 'if __name__ ==' in src:
         src = src[: src.index("if __name__ ==")]
@@ -1115,8 +1118,8 @@ def load_reference_vmunet3d():
     # source is numerically identical
     import re as _re2
     src = _re2.sub(r"= (out_y\[:, \d+\])\.view", r"= \1.clone().view", src)
-    mod = types.ModuleType("ref_vmunet3d")
-    mod.__file__ = str(VMUNET3D_FILE)
-    exec(compile(src, str(VMUNET3D_FILE), "exec"), mod.__dict__)
-    _cache["vmunet3d"] = mod
+    mod = types.ModuleType(f"ref_{key}")
+    mod.__file__ = str(path)
+    exec(compile(src, str(path), "exec"), mod.__dict__)
+    _cache[key] = mod
     return mod

@@ -1069,3 +1069,40 @@ def test_vmunet3d_parity():
     rel = np.abs(np.asarray(got) - ref_np).max() / (
         np.abs(ref_np).max() + 1e-8)
     assert rel < 2e-3, f"VMUNet3D rel err {rel}"
+
+
+def test_vmunet3d_new_parity():
+    """The *_woinit_new VM-UNet-3D variant removes the SS3D z gate
+    (in_proj emits d_inner only, no SiLU multiply) and the encoder5
+    bottleneck res-block (decoder4 consumes the raw VSSM bottleneck;
+    nnUNetTrainer_VMUNet3D_woinit_new.py:246-248,752-811)."""
+    import torch
+
+    from mlagg_unet_tpu.models.vmunet3d import VMUNet3D
+    from mlagg_unet_tpu.training.torch_import import (
+        convert_reference_vmunet3d_state_dict,
+    )
+
+    m = rt.load_reference_vmunet3d("_woinit_new")
+    torch.manual_seed(0)
+    net = m.VSSM_UNETR(in_chans=1, classes=2, depths=[1, 1, 1, 1],
+                       dims=[8, 16, 24, 32], drop_path_rate=0.0)
+    net.eval()
+    model = VMUNet3D(num_classes=2, depths=(1, 1, 1, 1),
+                     dims=(8, 16, 24, 32), no_z=True, use_encoder5=False)
+
+    converted = {tuple(k.split("/")): v for k, v in
+                 convert_reference_vmunet3d_state_dict(
+                     net.state_dict()).items()}
+    x_np = np.random.RandomState(37).randn(1, 8, 64, 64, 1
+                                           ).astype(np.float32)
+    new_params = _load_params_strict(model, x_np, converted)
+
+    import jax.numpy as jnp
+    with torch.no_grad():
+        ref = net(torch.from_numpy(np.transpose(x_np, (0, 4, 1, 2, 3))))
+    got = model.apply({"params": new_params}, jnp.asarray(x_np))
+    ref_np = np.transpose(ref.numpy(), (0, 2, 3, 4, 1))
+    rel = np.abs(np.asarray(got) - ref_np).max() / (
+        np.abs(ref_np).max() + 1e-8)
+    assert rel < 2e-3, f"VMUNet3D_new rel err {rel}"
