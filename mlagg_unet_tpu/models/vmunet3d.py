@@ -228,6 +228,10 @@ def _shift_mask3d(dims: Sequence[int], ws: Sequence[int],
 
 class WindowAttention3D(nn.Module):
     num_heads: int
+    # the CONFIGURED window (monai builds the bias table/index for this
+    # size even when the runtime window is clamped to the feature map and
+    # slices index[:n, :n] — reproduce that quirk exactly,
+    # nnUNetTrainer_VMUNet3D_woinit_new_SwinT.py:733-827)
     window_size: Sequence[int]
 
     @nn.compact
@@ -244,7 +248,7 @@ class WindowAttention3D(nn.Module):
             nn.initializers.truncated_normal(0.02),
             ((2 * ws[0] - 1) * (2 * ws[1] - 1) * (2 * ws[2] - 1),
              self.num_heads))
-        idx = _rel_pos_index3d(ws)
+        idx = _rel_pos_index3d(ws)[:N, :N]
         attn = attn + table[idx.reshape(-1)].reshape(
             N, N, self.num_heads).transpose(2, 0, 1)[None]
         if mask is not None:
@@ -281,17 +285,17 @@ class SwinBlock3D(nn.Module):
         else:
             mask = None
         win = _window_partition3d(h, ws)
-        win = WindowAttention3D(self.num_heads, ws, name="attn")(win, mask)
+        win = WindowAttention3D(self.num_heads, tuple(self.window_size),
+                                name="attn")(win, mask)
         h = _window_reverse3d(win, ws, pd, ph, pw)
         if any(ss):
             h = jnp.roll(h, shift=ss, axis=(1, 2, 3))
         h = h[:, :D, :H, :W]
         x = x + h
+        # the SwinT variant swaps the classic MLP for ConvolutionalGLU
+        # (nnUNetTrainer_VMUNet3D_woinit_new_SwinT.py:888-892)
         h = nn.LayerNorm(name="norm2")(x)
-        hidden = int(C * self.mlp_ratio)
-        h = nn.Dense(hidden, name="mlp_fc1")(h)
-        h = jax.nn.gelu(h, approximate=False)
-        return x + nn.Dense(C, name="mlp_fc2")(h)
+        return x + ConvGLU3D(int(C * self.mlp_ratio), name="mlp")(h)
 
 
 class SwinLayer3D(nn.Module):
@@ -370,9 +374,11 @@ class VSSM3D(nn.Module):
                 h = PatchMerging3D(self.dims[i], self.strides[i],
                                    name=f"merge{i}")(h)
             if self.last_stage_swin and i == n - 1:
-                h = SwinLayer3D(self.depths[i], self.num_heads,
-                                self.window_size, name=f"swin{i}")(
-                                    h, deterministic)
+                for j in range(self.depths[i]):
+                    h = SwinBlock3D(self.num_heads, self.window_size,
+                                    shift=j % 2 == 1,
+                                    name=f"stage{i}_block{j}")(
+                                        h, deterministic)
             else:
                 for j in range(self.depths[i]):
                     h = VSSBlock3D(d_state=self.d_state,

@@ -323,6 +323,7 @@ def convert_reference_mamba_unet_state_dict(state_dict
 # 12-direction SS3D cells + UNETR decoder). Verified by
 # test_torch_parity.py::test_vmunet3d_parity.
 REFERENCE_VMUNET3D_RULES = [
+    (r"relative_position_index$", None),     # buffer, recomputed statically
     (r"^vssm\.downsample\.0\.", "vssm.patch_embed."),
     # PatchMerging3D.reduction = Sequential[Permute, Conv3d, Permute, LN]
     (r"^vssm\.downsample\.(\d+)\.reduction\.1\.",

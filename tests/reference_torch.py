@@ -373,6 +373,44 @@ def _install_shims():
             return nn.Dropout if not isinstance(key, tuple) \
                 else (lambda p: nn.Dropout(p))
 
+    # ---- bits the SwinT VMUNet3D variant imports at module level ----
+    class MLPBlock(nn.Module):
+        def __init__(self, hidden_size, mlp_dim, dropout_rate=0.0,
+                     act="GELU", dropout_mode="vit"):
+            super().__init__()
+            self.linear1 = nn.Linear(hidden_size, mlp_dim)
+            self.linear2 = nn.Linear(mlp_dim, hidden_size)
+            self.fn = nn.GELU()
+
+        def forward(self, x):
+            return self.linear2(self.fn(self.linear1(x)))
+
+    def ensure_tuple_rep(v, dim):
+        return tuple(v) if isinstance(v, (tuple, list)) else (v,) * dim
+
+    def look_up_option(opt, supported):
+        return opt
+
+    def optional_import(module, name=""):
+        import importlib
+        try:
+            mod = importlib.import_module(module)
+            return (getattr(mod, name) if name else mod), True
+        except ImportError:
+            return None, False
+
+    def deprecated_arg(*a, **k):
+        def deco(fn):
+            return fn
+        return deco
+
+    m_blocks.MLPBlock = MLPBlock
+    m_blocks.PatchEmbed = None        # imported by the SwinT file, unused
+    m_layers.DropPath = sys.modules["timm.models.layers"].DropPath
+    m_layers.trunc_normal_ = sys.modules["timm.models.layers"].trunc_normal_
+    m_deprecate = types.ModuleType("monai.utils.deprecate_utils")
+    m_deprecate.deprecated_arg = deprecated_arg
+
     m_convs = types.ModuleType("monai.networks.blocks.convolutions")
     m_convs.Convolution = Convolution
     m_seg = types.ModuleType("monai.networks.blocks.segresnet_block")
@@ -384,6 +422,10 @@ def _install_shims():
     m_lutils.get_act_layer = get_act_layer
     m_utils = types.ModuleType("monai.utils")
     m_utils.UpsampleMode = UpsampleMode
+    m_utils.ensure_tuple_rep = ensure_tuple_rep
+    m_utils.look_up_option = look_up_option
+    m_utils.optional_import = optional_import
+    m_utils.deprecate_utils = m_deprecate
 
     monai.networks = m_networks
     m_networks.blocks = m_blocks
@@ -405,6 +447,7 @@ def _install_shims():
     sys.modules["monai.networks.layers.utils"] = m_lutils
     sys.modules["monai.networks.layers.factories"] = m_fact
     sys.modules["monai.utils"] = m_utils
+    sys.modules["monai.utils.deprecate_utils"] = m_deprecate
 
 
 _cache = {}
@@ -1111,6 +1154,9 @@ def load_reference_vmunet3d(which: str = ""):
     path = UMAMBA_DIR / f"nnUNetTrainer_VMUNet3D{which}.py"
     src = path.read_text()
     src = src[src.index("import time\nimport math"):]
+    # the SwinT variant references np below the cut point; its numpy
+    # import sits above it in the trainer section
+    src = "import numpy as np\n" + src
     if 'if __name__ ==' in src:
         src = src[: src.index("if __name__ ==")]
     # newer torch rejects the reference's aliased in-place writes

@@ -1106,3 +1106,44 @@ def test_vmunet3d_new_parity():
     rel = np.abs(np.asarray(got) - ref_np).max() / (
         np.abs(ref_np).max() + 1e-8)
     assert rel < 2e-3, f"VMUNet3D_new rel err {rel}"
+
+
+def test_vmunet3d_swint_parity():
+    """The *_SwinT VM-UNet-3D variant replaces the last VSSM stage with a
+    3D shifted-window transformer BasicLayer whose blocks use
+    ConvolutionalGLU MLPs (nnUNetTrainer_VMUNet3D_woinit_new_SwinT.py:
+    829-1060), on top of the _woinit_new changes (no z gate, no
+    encoder5)."""
+    import torch
+
+    from mlagg_unet_tpu.models.vmunet3d import VMUNet3D
+    from mlagg_unet_tpu.training.torch_import import (
+        convert_reference_vmunet3d_state_dict,
+    )
+
+    m = rt.load_reference_vmunet3d("_woinit_new_SwinT")
+    torch.manual_seed(0)
+    # dims[3] must divide the hardcoded 24 attention heads
+    net = m.VSSM_UNETR(in_chans=1, classes=2, depths=[1, 1, 1, 2],
+                       dims=[8, 16, 24, 48], drop_path_rate=0.0)
+    net.eval()
+    model = VMUNet3D(num_classes=2, depths=(1, 1, 1, 2),
+                     dims=(8, 16, 24, 48), no_z=True, use_encoder5=False,
+                     last_stage_swin=True, num_heads=24,
+                     window_size=(5, 6, 7))
+
+    converted = {tuple(k.split("/")): v for k, v in
+                 convert_reference_vmunet3d_state_dict(
+                     net.state_dict()).items()}
+    x_np = np.random.RandomState(41).randn(1, 8, 64, 64, 1
+                                           ).astype(np.float32)
+    new_params = _load_params_strict(model, x_np, converted)
+
+    import jax.numpy as jnp
+    with torch.no_grad():
+        ref = net(torch.from_numpy(np.transpose(x_np, (0, 4, 1, 2, 3))))
+    got = model.apply({"params": new_params}, jnp.asarray(x_np))
+    ref_np = np.transpose(ref.numpy(), (0, 2, 3, 4, 1))
+    rel = np.abs(np.asarray(got) - ref_np).max() / (
+        np.abs(ref_np).max() + 1e-8)
+    assert rel < 2e-3, f"VMUNet3D_SwinT rel err {rel}"
