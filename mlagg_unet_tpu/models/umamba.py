@@ -207,10 +207,33 @@ class UMambaUNet(nn.Module):
                 if len(kernels[0]) == 3 or bool(s % 2) ^ bool(n % 2):
                     x = MambaLayer(channel_token=channel_token[s],
                                    name=f"enc_mamba{s}")(x)
+            elif self.mamba_mode == "enc_ss3d":
+                # SS3D variant: a 12-direction VSS block after EVERY stage
+                # (no channel-token mode), depth 1, d_state=1 (!)
+                # (UMambaEnc_SS3D.py:645-660)
+                from mlagg_unet_tpu.models.vmunet3d import VSSBlock3D
+
+                # mlp_ratios = [2]*2 + [4]*(n-2); z gate removed
+                # (UMambaEnc_SS3D.py:151,342-352,604)
+                x = VSSBlock3D(d_state=1, expand=2.0,
+                               mlp_ratio=2.0 if s < 2 else 4.0,
+                               mlp_type="plain", no_z=True,
+                               name=f"enc_vss{s}")(x, deterministic)
             skips.append(x)
 
         if self.mamba_mode == "bot":
             skips[-1] = MambaLayer(name="bot_mamba")(skips[-1])
+        elif self.mamba_mode == "bot_ss3d":
+            # UMambaBot_SS3D.py:806-821: bottleneck VSSLayer(depth=1,
+            # d_state=1, expand=2, mlp_ratio=4) of 12-direction SS3D blocks
+            from mlagg_unet_tpu.models.vmunet3d import VSSBlock3D
+
+            # z gate removed in this file's SS3D (UMambaBot_SS3D.py:119,
+            # 310-320)
+            skips[-1] = VSSBlock3D(d_state=1, expand=2.0, mlp_ratio=4.0,
+                                   no_z=True,
+                                   name="bot_vss0")(skips[-1],
+                                                    deterministic)
 
         # ---- decoder (nearest-upsample + 1x1; 2D: no skip concat on the
         # last stage, UMambaBot_2d.py:334-335; 3D: concat everywhere,

@@ -129,7 +129,7 @@ class SS3D12(nn.Module):
                                delta_softplus=True)
         y = _merge12_3d(out_y, Dz, H, W)                      # (B,Din,L)
         y = jnp.swapaxes(y, 1, 2)
-        y = nn.LayerNorm(name="out_norm")(y)
+        y = nn.LayerNorm(epsilon=1e-5, name="out_norm")(y)
         y = y.reshape(B, Dz, H, W, d_inner)
         if z is not None:
             y = y * jax.nn.silu(z)
@@ -154,22 +154,42 @@ class ConvGLU3D(nn.Module):
         return nn.Dense(cin, name="fc2")(h)
 
 
+class _PlainMlp3D(nn.Module):
+    """monai MLPBlock: Linear -> GELU -> Linear (field names linear1/2;
+    used by UMambaEnc_SS3D's VSSBlock, UMambaEnc_SS3D.py:420)."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        h = nn.Dense(self.hidden, name="linear1")(x)
+        h = jax.nn.gelu(h, approximate=False)
+        return nn.Dense(c, name="linear2")(h)
+
+
 class VSSBlock3D(nn.Module):
-    """LN -> SS3D12 -> +res; LN -> ConvGLU3D -> +res (:483-518)."""
+    """LN -> SS3D12 -> +res; LN -> mlp -> +res (:483-518). mlp_type
+    'conv_glu' = ConvolutionalGLU (VMUNet3D, UMambaBot_SS3D); 'plain' =
+    monai MLPBlock (UMambaEnc_SS3D.py:420)."""
 
     d_state: int = 16
     expand: float = 2.0
     mlp_ratio: float = 4.0
     no_z: bool = False
+    mlp_type: str = "conv_glu"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         dim = x.shape[-1]
-        h = nn.LayerNorm(name="norm")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         x = x + SS3D12(d_model=dim, d_state=self.d_state,
                        expand=self.expand, no_z=self.no_z,
                        name="self_attention")(h, deterministic)
-        h = nn.LayerNorm(name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        if self.mlp_type == "plain":
+            return x + _PlainMlp3D(int(dim * self.mlp_ratio),
+                                   name="mlp")(h)
         return x + ConvGLU3D(int(dim * self.mlp_ratio), name="mlp")(h)
 
 
@@ -275,7 +295,7 @@ class SwinBlock3D(nn.Module):
         ss = [0 if dims[i] <= self.window_size[i] or not self.shift
               else ws[i] // 2 for i in range(3)]
 
-        h = nn.LayerNorm(name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         pads = [(0, (w - d % w) % w) for d, w in zip(dims, ws)]
         h = jnp.pad(h, [(0, 0)] + pads + [(0, 0)])
         pd, ph, pw = h.shape[1:4]
@@ -294,7 +314,7 @@ class SwinBlock3D(nn.Module):
         x = x + h
         # the SwinT variant swaps the classic MLP for ConvolutionalGLU
         # (nnUNetTrainer_VMUNet3D_woinit_new_SwinT.py:888-892)
-        h = nn.LayerNorm(name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         return x + ConvGLU3D(int(C * self.mlp_ratio), name="mlp")(h)
 
 
@@ -328,7 +348,7 @@ class PatchEmbed3D(nn.Module):
         h = nn.Conv(self.embed_dim, tuple(self.patch_size),
                     strides=tuple(self.patch_size),
                     bias_init=torch_bias_init(fan_in), name="proj")(x)
-        return nn.LayerNorm(name="norm")(h)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(h)
 
 
 class PatchMerging3D(nn.Module):
@@ -343,7 +363,7 @@ class PatchMerging3D(nn.Module):
         # which pads asymmetrically under stride 2 and shifts the windows
         h = nn.Conv(self.out_dim, (3, 3, 3), strides=tuple(self.stride),
                     padding=1, name="reduction")(x)
-        return nn.LayerNorm(name="norm")(h)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(h)
 
 
 class VSSM3D(nn.Module):

@@ -116,6 +116,28 @@ def _build_umamba_enc(configuration_manager, num_input_channels,
                              num_output_channels, deep_supervision, "enc")
 
 
+def _build_umamba_bot_ss3d(configuration_manager, num_input_channels,
+                           num_output_channels, deep_supervision):
+    """UMambaBot_SS3D.py:806-821 — 3D-only, VSS bottleneck."""
+    from mlagg_unet_tpu.models.umamba import umamba_from_plans
+
+    assert len(configuration_manager.patch_size) == 3, "SS3D is 3D-only"
+    return umamba_from_plans(configuration_manager, num_input_channels,
+                             num_output_channels, deep_supervision,
+                             "bot_ss3d")
+
+
+def _build_umamba_enc_ss3d(configuration_manager, num_input_channels,
+                           num_output_channels, deep_supervision):
+    """UMambaEnc_SS3D.py:645-660 — 3D-only, per-stage VSS layers."""
+    from mlagg_unet_tpu.models.umamba import umamba_from_plans
+
+    assert len(configuration_manager.patch_size) == 3, "SS3D is 3D-only"
+    return umamba_from_plans(configuration_manager, num_input_channels,
+                             num_output_channels, deep_supervision,
+                             "enc_ss3d")
+
+
 def _make_mednext_builder(model_id: str, kernel_size: int,
                           use_mamba_skip: bool = False):
     def build(configuration_manager, num_input_channels, num_output_channels,
@@ -352,8 +374,8 @@ NETWORK_BUILDERS.update({
         two_d_only=True),
     "swin_tunet": _make_simple_builder(
         "mlagg_unet_tpu.models.more_variants", "SwinTUNet", two_d_only=True),
-    "umamba_ss3d": _make_simple_builder(
-        "mlagg_unet_tpu.models.more_variants", "UMambaSS3D"),
+    "umamba_bot_ss3d": _build_umamba_bot_ss3d,
+    "umamba_enc_ss3d": _build_umamba_enc_ss3d,
 })
 
 
@@ -382,7 +404,9 @@ register_trainer(replace(_default, name="nnUNetTrainer_MambaUNet",
                          network="mamba_unet", optimizer="adamw",
                          initial_lr=1e-3))
 register_trainer(replace(_default, name="nnUNetTrainerUMambaBot_SS3D",
-                         network="umamba_ss3d"))
+                         network="umamba_bot_ss3d"))
+register_trainer(replace(_default, name="nnUNetTrainerUMambaEnc_SS3D",
+                         network="umamba_enc_ss3d"))
 def _build_lkm_unet(configuration_manager, num_input_channels,
                     num_output_channels, deep_supervision):
     """Plans-driven LKM-UNet, mirroring get_lkmunet_from_plans
@@ -571,7 +595,6 @@ for _alias, _orig in (
     ("nnUNetTrainerVMUNet", "nnUNetTrainer_VMUNet"),
     ("nnUNetTrainernnMamba", "nnUNetTrainer_nnMamba"),
     ("nnUNetTrainer_SwinUNETR_2d", "nnUNetTrainerSwinUNETR_2d"),
-    ("nnUNetTrainerUMambaEnc_SS3D", "nnUNetTrainerUMambaBot_SS3D"),
     ("nnUNetTrainer_MedNeXt_new", "nnUNetTrainer_MedNeXt"),
 ):
     register_trainer(replace(TRAINER_REGISTRY[_orig], name=_alias))

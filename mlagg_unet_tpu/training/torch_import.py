@@ -214,6 +214,14 @@ REFERENCE_SWIN_UMAMBA_D_RULES = _SWIN_UMAMBA_SHARED + [
 # tests/test_torch_parity.py::test_umamba_{bot,enc}_forward_parity.
 REFERENCE_UMAMBA_RULES = [
     (r"^decoder\.encoder\.", None),        # duplicate module registration
+    # SS3D variants: VSS blocks at the bottleneck / per stage
+    # (UMambaBot_SS3D.py:806-821, UMambaEnc_SS3D.py:645-660)
+    (r"^mamba_layer\.blocks\.(\d+)\.", r"bot_vss\1."),
+    (r"^encoder\.mamba_layers\.(\d+)\.blocks\.0\.", r"enc_vss\1."),
+    (r"\.mlp\.dwconv\.dwconv\.", ".mlp.dwconv."),
+    # protect the VSS blocks' LayerNorms from the BasicResBlock
+    # InstanceNorm rewrite below (marker stripped by the last rule)
+    (r"^((?:bot|enc)_vss\d+)\.norm", r"\1.@ln@norm"),
     (r"^encoder\.stem\.(\d+)\.", r"stem_block\1."),
     (r"^encoder\.stages\.(\d+)\.(\d+)\.", r"stage\1_block\2."),
     (r"^encoder\.mamba_layers\.(\d+)\.", r"enc_mamba\1."),
@@ -225,6 +233,7 @@ REFERENCE_UMAMBA_RULES = [
     (r"\.norm([12])\.", r".norm\1.GroupNorm_0."),             # BasicResBlock
     (r"\.dt_proj\.weight$", ".dt_proj_weight"),
     (r"\.dt_proj\.bias$", ".dt_proj_bias"),
+    (r"@ln@", ""),
 ]
 
 
@@ -479,6 +488,14 @@ def convert_reference_swin_umamba_state_dict(
 def convert_reference_umamba_state_dict(state_dict) -> Dict[str, np.ndarray]:
     """torch UMambaBot/UMambaEnc state_dict -> flax layout."""
     return _convert_reference_state_dict(state_dict, REFERENCE_UMAMBA_RULES)
+
+
+def convert_reference_umamba_ss3d_state_dict(state_dict
+                                             ) -> Dict[str, np.ndarray]:
+    """torch UMambaBot/Enc_SS3D state_dict -> flax layout (the VSS blocks'
+    A_logs/Ds merge K=12 scan directions)."""
+    return _convert_reference_state_dict(state_dict, REFERENCE_UMAMBA_RULES,
+                                         k_dirs=12)
 
 
 def convert_reference_msvm_state_dict(state_dict) -> Dict[str, np.ndarray]:

@@ -989,7 +989,8 @@ def load_reference_umamba(which: str):
         return _cache[key]
     _install_dna_shims()
 
-    path = UMAMBA_DIR / f"UMamba{which[:3].capitalize()}_{which[-2:]}.py"
+    suffix = "SS3D" if which.endswith("ss3d") else which[-2:]
+    path = UMAMBA_DIR / f"UMamba{which[:3].capitalize()}_{suffix}.py"
     src = path.read_text()
     for line in (
         "from nnunetv2.utilities.plans_handling.plans_handler import "
@@ -999,6 +1000,11 @@ def load_reference_umamba(which: str):
     ):
         src = src.replace(line, "")
     src = src[: src.index("def get_umamba_")]
+    if which.endswith("ss3d"):
+        # newer torch rejects the SS3D forward's aliased in-place writes
+        import re as _re3
+        src = _re3.sub(r"= (out_y\[:, \d+\])\.view", r"= \1.clone().view",
+                       src)
     mod = types.ModuleType(f"ref_{key}")
     mod.__file__ = str(path)
     exec(compile(src, str(path), "exec"), mod.__dict__)

@@ -625,7 +625,7 @@ def _umamba_ref_kwargs():
                 deep_supervision=True)
 
 
-def _umamba_parity(net, model, x_np, label):
+def _umamba_parity(net, model, x_np, label, pre_converted=None):
     import jax.numpy as jnp
     import torch
 
@@ -633,9 +633,9 @@ def _umamba_parity(net, model, x_np, label):
     from mlagg_unet_tpu.training.torch_import import (
         convert_reference_umamba_state_dict,
     )
-    converted = {tuple(k.split("/")): v for k, v in
-                 convert_reference_umamba_state_dict(
-                     net.state_dict()).items()}
+    converted = pre_converted if pre_converted is not None else {
+        tuple(k.split("/")): v for k, v in
+        convert_reference_umamba_state_dict(net.state_dict()).items()}
     new_params = _load_params_strict(model, x_np, converted)
     perm = (0, len(x_np.shape) - 1) + tuple(range(1, len(x_np.shape) - 1))
     with torch.no_grad():
@@ -1147,3 +1147,50 @@ def test_vmunet3d_swint_parity():
     rel = np.abs(np.asarray(got) - ref_np).max() / (
         np.abs(ref_np).max() + 1e-8)
     assert rel < 2e-3, f"VMUNet3D_SwinT rel err {rel}"
+
+
+@pytest.mark.parametrize("which,mode", [("bot_ss3d", "bot_ss3d"),
+                                        ("enc_ss3d", "enc_ss3d")])
+def test_umamba_ss3d_parity(which, mode):
+    """UMambaBot/Enc_SS3D (UMambaBot_SS3D.py:746-830, UMambaEnc_SS3D.py):
+    the U-Mamba residual trunk with 12-direction SS3D VSS blocks
+    (depth 1, d_state=1, ConvGLU mlp) at the bottleneck / per stage."""
+    import torch
+    import torch.nn as nn
+
+    from mlagg_unet_tpu.models.umamba import UMambaUNet
+    from mlagg_unet_tpu.training.torch_import import (
+        convert_reference_umamba_ss3d_state_dict,
+    )
+
+    m = rt.load_reference_umamba(which)
+    torch.manual_seed(0)
+    kw = _umamba_ref_kwargs()
+    kw["norm_op"] = nn.InstanceNorm3d
+    common = dict(input_channels=1, n_stages=3, features_per_stage=(4, 8, 16),
+                  conv_op=nn.Conv3d, kernel_sizes=[(3, 3, 3)] * 3,
+                  strides=[(1, 1, 1), (2, 2, 2), (1, 2, 2)],
+                  n_conv_per_stage=[2, 2, 2], num_classes=2,
+                  n_conv_per_stage_decoder=[2, 2], **kw)
+    if which == "bot_ss3d":
+        net = m.UMambaBot(**common)
+    else:
+        net = m.UMambaEnc(input_size=(8, 16, 16), **common)
+    net.eval()
+    model = UMambaUNet(num_classes=2, n_stages=3,
+                       features_per_stage=(4, 8, 16),
+                       conv_kernel_sizes=((3, 3, 3),) * 3,
+                       pool_op_kernel_sizes=((1, 1, 1), (2, 2, 2),
+                                             (1, 2, 2)),
+                       n_conv_per_stage_encoder=(2, 2, 2),
+                       n_conv_per_stage_decoder=(2, 2),
+                       deep_supervision=True, mamba_mode=mode,
+                       input_size=(8, 16, 16))
+
+    converted = {tuple(k.split("/")): v for k, v in
+                 convert_reference_umamba_ss3d_state_dict(
+                     net.state_dict()).items()}
+    x_np = np.random.RandomState(43).randn(1, 8, 16, 16, 1
+                                           ).astype(np.float32)
+    _umamba_parity(net, model, x_np, f"UMamba_{which}",
+                   pre_converted=converted)

@@ -164,26 +164,24 @@ def test_swin_tunet(rng):
     assert out.shape == (1, 32, 32, 2)
 
 
-def test_ss3d_scan_merge_roundtrip(rng):
-    from mlagg_unet_tpu.models.more_variants import _merge6_3d, _scan6_3d
+def test_umamba_ss3d_modes(rng):
+    """UMambaBot/Enc_SS3D: the faithful UMambaUNet trunk with 12-direction
+    VSS blocks (d_state=1, ConvGLU mlp) at the bottleneck / after every
+    stage (UMambaBot_SS3D.py:806-821, UMambaEnc_SS3D.py:645-660)."""
+    from mlagg_unet_tpu.models.umamba import UMambaUNet
 
-    x = jnp.asarray(rng.randn(1, 3, 4, 5, 2).astype(np.float32))
-    ys = _scan6_3d(x)
-    assert ys.shape == (1, 6, 2, 60)
-    merged = _merge6_3d(ys, 3, 4, 5)
-    expected = 6.0 * jnp.transpose(x, (0, 4, 1, 2, 3)).reshape(1, 2, 60)
-    np.testing.assert_allclose(np.asarray(merged), np.asarray(expected),
-                               rtol=1e-5)
-
-
-def test_umamba_ss3d(rng):
-    from mlagg_unet_tpu.models.more_variants import UMambaSS3D
-
-    m = UMambaSS3D(num_classes=2, features=(4, 8, 16),
-                   deep_supervision=False)
-    out = _run(m, jnp.asarray(rng.randn(1, 8, 8, 8, 1).astype(np.float32)))
-    assert out.shape == (1, 8, 8, 8, 2)
-    assert bool(jnp.all(jnp.isfinite(out)))
+    for mode in ("bot_ss3d", "enc_ss3d"):
+        m = UMambaUNet(num_classes=2, n_stages=2,
+                       features_per_stage=(4, 8),
+                       conv_kernel_sizes=((3, 3, 3),) * 2,
+                       pool_op_kernel_sizes=((1, 1, 1), (2, 2, 2)),
+                       n_conv_per_stage_encoder=(1, 1),
+                       n_conv_per_stage_decoder=(1,),
+                       deep_supervision=False, mamba_mode=mode)
+        out = _run(m, jnp.asarray(rng.randn(1, 4, 8, 8, 1
+                                            ).astype(np.float32)))
+        assert out.shape == (1, 4, 8, 8, 2), mode
+        assert bool(jnp.all(jnp.isfinite(out))), mode
 
 
 def test_lkm_unet(rng):
