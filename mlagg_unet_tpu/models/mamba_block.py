@@ -206,8 +206,6 @@ class SS2D(nn.Module):
                      name="conv2d")(xh)
         xh = jax.nn.silu(xh)
 
-        xs = scan_fn(xh)                               # (B, 4, Din, L)
-
         x_proj_weight = self.param(
             "x_proj_weight", nn.initializers.lecun_normal(),
             (K, dt_rank + 2 * self.d_state, d_inner), jnp.float32,
@@ -222,21 +220,41 @@ class SS2D(nn.Module):
                             _a_log_init(K, d_inner, self.d_state),
                             (K, d_inner, self.d_state), jnp.float32)
         Ds = self.param("Ds", nn.initializers.ones, (K, d_inner), jnp.float32)
-
-        scan_dtype = jnp.float32 if force_fp32 else xs.dtype
-        x_dbl = jnp.einsum("bkdl,kcd->bkcl", xs.astype(scan_dtype),
-                           x_proj_weight.astype(scan_dtype),
-                           preferred_element_type=scan_dtype)
-        dts = jnp.einsum("bkrl,kdr->bkdl", x_dbl[:, :, :dt_rank],
-                         dt_projs_weight.astype(scan_dtype),
-                         preferred_element_type=scan_dtype)
-        Bs = x_dbl[:, :, dt_rank: dt_rank + self.d_state]
-        Cs = x_dbl[:, :, dt_rank + self.d_state:]
         A = -jnp.exp(A_logs)
 
-        out_y = selective_scan(xs, dts, A, Bs, Cs, Ds, dt_projs_bias,
-                               delta_softplus=True)    # (B,4,Din,L)
-        y = merge_fn(out_y, H, W)                      # (B,Din,L)
+        def project_and_scan(xs, k_sl, reverse):
+            scan_dtype = jnp.float32 if force_fp32 else xs.dtype
+            x_dbl = jnp.einsum("bkdl,kcd->bkcl", xs.astype(scan_dtype),
+                               x_proj_weight[k_sl].astype(scan_dtype),
+                               preferred_element_type=scan_dtype)
+            dts = jnp.einsum("bkrl,kdr->bkdl", x_dbl[:, :, :dt_rank],
+                             dt_projs_weight[k_sl].astype(scan_dtype),
+                             preferred_element_type=scan_dtype)
+            Bs = x_dbl[:, :, dt_rank: dt_rank + self.d_state]
+            Cs = x_dbl[:, :, dt_rank + self.d_state:]
+            return selective_scan(xs, dts, A[k_sl], Bs, Cs, Ds[k_sl],
+                                  dt_projs_bias[k_sl], delta_softplus=True,
+                                  reverse=reverse)
+
+        if directions == 4:
+            # kernel-folded reversal: directions 2/3 scan the SAME two
+            # layouts right-to-left (reverse=True index maps) — no flip
+            # copies in scan or merge (see ops/cross_scan._dirs01)
+            from mlagg_unet_tpu.ops.cross_scan import _dirs01
+
+            d0, d1 = _dirs01(xh)
+            xs2 = jnp.stack([d0, d1], axis=1)          # (B, 2, Din, L)
+            y_f = project_and_scan(xs2, slice(0, 2), False)
+            y_r = project_and_scan(xs2, slice(2, 4), True)
+            row = y_f[:, 0] + y_r[:, 0]                # (B, Din, L)
+            col = y_f[:, 1] + y_r[:, 1]
+            col = jnp.transpose(col.reshape(B, d_inner, W, H),
+                                (0, 1, 3, 2)).reshape(B, d_inner, L)
+            y = row + col
+        else:
+            xs = scan_fn(xh)                           # (B, 4, Din, L)
+            out_y = project_and_scan(xs, slice(0, K), False)
+            y = merge_fn(out_y, H, W)                  # (B,Din,L)
         y = jnp.swapaxes(y, 1, 2)                      # (B,L,Din)
         if flags.get("_onnone"):
             pass
