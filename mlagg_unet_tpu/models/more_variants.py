@@ -1,11 +1,13 @@
 """Additional variant-zoo architectures composed from the shared pieces.
 
-* SwinTUNet (nnUNetTrainer_SwinTUNet.py): Swin transformer U-shape with
-  patch-expand decoder.
-* MambaUNet (nnUNetTrainer_MambaUNet.py): pure-VSS U-shape (Swin-UNet with
-  VSS blocks) — thin preset over our VMUNet.
-* SS3D (UMambaBot_SS3D.py / SS3D variants): 6-direction 3D selective scan
-  cell (forward+backward along each spatial axis) + U-Mamba-SS3D net.
+* SwinTUNet: a Swin-transformer U-shape. NOTE the reference's
+  nnUNetTrainer_SwinTUNet.py contains only a (vestigial) backbone — no
+  trainer class exists upstream and nothing imports it; this net keeps
+  the name usable but has no reference counterpart to match.
+
+(The faithful Mamba-UNet lives in models/vmamba.py; the faithful U-Mamba
+SS3D variants are UMambaUNet mamba modes in models/umamba.py — both
+torch-parity-tested.)
 """
 from __future__ import annotations
 
@@ -17,14 +19,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mlagg_unet_tpu.models.dynamic_unet import StackedConvBlocks, TransposedConvND
-from mlagg_unet_tpu.models.mamba_skip import (
-    _a_log_init,
-    _dt_proj_bias_init,
-    _dt_proj_weight_init,
-)
 from mlagg_unet_tpu.models.mednext import OutBlock
 from mlagg_unet_tpu.models.swin_unetr import SwinStage, PatchMergingSwin
-from mlagg_unet_tpu.models.vmamba import PatchExpand2D, VSSBlock, VSSM
+from mlagg_unet_tpu.models.vmamba import PatchExpand2D
 
 
 class SwinTUNet(nn.Module):
