@@ -57,7 +57,7 @@ class PatchMerging2D(nn.Module):
         # (0,0),(1,0),(0,1),(1,1): w-offset outer, h-offset inner
         x = jnp.transpose(x, (0, 1, 3, 4, 2, 5)).reshape(
             B, H // 2, W // 2, 4 * C)
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         return nn.Dense(self.out_dim, use_bias=False, name="reduction")(x)
 
 
@@ -112,7 +112,7 @@ class PatchExpand2D(nn.Module):
         x = x.reshape(B, H, W, 2, 2, self.out_dim)
         x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
             B, 2 * H, 2 * W, self.out_dim)
-        return nn.LayerNorm(name="norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(x)
 
 
 class _V0Block(nn.Module):
