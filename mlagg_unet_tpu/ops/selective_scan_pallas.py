@@ -143,13 +143,19 @@ def _fwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref, D_ref,
 def _bwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref, D_ref, gy_ref,
                 h0_ref, du_ref, ddt_ref, dA_ref, dB_ref, dC_ref, dDb_ref,
                 carry_scratch, dA_scratch, dDb_scratch,
-                *, lc: int, softplus: bool):
+                *, lc: int, softplus: bool, reverse: bool = False):
     """Processes chunks in REVERSE time order (index_map flips j).
     carry_scratch: (2, gb, n, d_pad) rows = (a_first, g_first) of the
     later-in-time chunk. dA accumulates across chunks in scratch; so do the
     per-row dD and dbias partial sums (dDb_scratch rows 0/1), emitted once
     per grid row as dDb_ref. ddt_ref receives the FINAL ddelta (the
-    softplus/bias chain is applied in-kernel)."""
+    softplus/bias chain is applied in-kernel).
+
+    reverse=True is the backward of a reverse=True forward, fully mirrored:
+    chunks iterate FORWARD (natural index maps), h is recomputed by the
+    MIRRORED doubling from the saved chunk-RIGHT-edge states, the adjoint
+    recurrence g_t = G_t + a_{t-1} g_{t-1} runs left-to-right, and da uses
+    h_{t+1} instead of h_{t-1}. No operand/grad flips anywhere."""
     j = pl.program_id(2)
     nchunks = pl.num_programs(2)
 
@@ -172,39 +178,44 @@ def _bwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref, D_ref, gy_ref,
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, lc), dimension=3)
 
-    # ---- recompute within-chunk a, bx, h from the saved start state
+    # ---- recompute within-chunk a, bx, h from the saved boundary state
     a = jnp.exp(dt[:, None, :, :] * At[:, :, :, None])       # (gb, n, d, Lc)
     s = dt * u                                                # (gb, d, Lc)
     bx = s[:, None, :, :] * Bm[:, :, None, :]
-    a_cum, b_cum = _doubling_scan(a, bx, lane, lc)
+    a_cum, b_cum = _doubling_scan(a, bx, lane, lc, reverse=reverse)
     h = b_cum + a_cum * h0[:, :, :, None]                     # h_t
-    h_prev = pltpu.roll(h, 1, axis=3)
-    h_prev = jnp.where(lane >= 1, h_prev, h0[:, :, :, None])  # h_{t-1}
+    if not reverse:
+        h_adj = pltpu.roll(h, 1, axis=3)                      # h_{t-1}
+        h_adj = jnp.where(lane >= 1, h_adj, h0[:, :, :, None])
+    else:
+        h_adj = pltpu.roll(h, lc - 1, axis=3)                 # h_{t+1}
+        h_adj = jnp.where(lane <= lc - 2, h_adj, h0[:, :, :, None])
 
-    # ---- reverse scan for g_t = G_t + a_{t+1} g_{t+1}, in place (no flips:
-    # Mosaic lacks a rev primitive) via right-to-left doubling
+    # ---- adjoint recurrence. forward scan: g_t = G_t + a_{t+1} g_{t+1}
+    # (right-to-left doubling, carry from the LATER chunk); reverse scan:
+    # g_t = G_t + a_{t-1} g_{t-1} (left-to-right doubling, carry from the
+    # EARLIER chunk).
     G = gy[:, None, :, :] * Cm[:, :, None, :]                 # (gb, n, d, Lc)
-    a_next_first = carry_scratch[0, :, :, :d]                 # (gb, n, d)
-    g_next_first = carry_scratch[1, :, :, :d]
-    m = pltpu.roll(a, lc - 1, axis=3)                         # m_t = a_{t+1}
-    m = jnp.where(lane <= lc - 2, m, a_next_first[:, :, :, None])
-    v = G
-    shift = 1
-    while shift < lc:
-        m_sh = pltpu.roll(m, lc - shift, axis=3)
-        v_sh = pltpu.roll(v, lc - shift, axis=3)
-        valid = lane < lc - shift
-        v = jnp.where(valid, v + m * v_sh, v)
-        m = jnp.where(valid, m * m_sh, m)
-        shift *= 2
-    g = v + m * g_next_first[:, :, :, None]                   # (gb, n, d, Lc)
+    a_carry = carry_scratch[0, :, :, :d]                      # (gb, n, d)
+    g_carry = carry_scratch[1, :, :, :d]
+    if not reverse:
+        m = pltpu.roll(a, lc - 1, axis=3)                     # m_t = a_{t+1}
+        m = jnp.where(lane <= lc - 2, m, a_carry[:, :, :, None])
+    else:
+        m = pltpu.roll(a, 1, axis=3)                          # m_t = a_{t-1}
+        m = jnp.where(lane >= 1, m, a_carry[:, :, :, None])
+    # solve g_t = G_t + m_t g_{t±1} by doubling in the matching direction
+    m_cum, v = _doubling_scan(m, G, lane, lc, reverse=not reverse)
+    g = v + m_cum * g_carry[:, :, :, None]                    # (gb, n, d, Lc)
 
-    # save carry for the next (earlier) chunk
-    carry_scratch[0, :, :, :d] = a[:, :, :, 0]
-    carry_scratch[1, :, :, :d] = g[:, :, :, 0]
+    # save carry for the next grid step (earlier chunk for forward scans,
+    # later chunk for reverse scans)
+    edge = 0 if not reverse else lc - 1
+    carry_scratch[0, :, :, :d] = a[:, :, :, edge]
+    carry_scratch[1, :, :, :d] = g[:, :, :, edge]
 
     # ---- gradient contractions
-    da = g * h_prev                                           # (gb, n, d, Lc)
+    da = g * h_adj                                            # (gb, n, d, Lc)
     gB = jnp.sum(g * Bm[:, :, None, :], axis=1)               # (gb, d, Lc)
     D = D_ref[...].astype(jnp.float32)                        # (gb, d, 1)
     du_ref[...] = (dt * gB + D * gy).astype(du_ref.dtype)
@@ -487,13 +498,10 @@ def _pallas_backward(u, delta, A, B, C, D, delta_bias, delta_softplus,
                      chunk_size, h0_states, gy, reverse: bool = False):
     """Returns (du, ddelta, dA, dB, dC, dD, dbias) matching input shapes.
 
-    reverse=True computes the backward of a reverse=True forward by
-    mirroring the PADDED problem: flip the padded operands/gy along Lp
-    (so chunk boundaries stay aligned with the forward's saved restart
-    states, which were emitted over the same padded layout), reverse the
-    state chunk order, run the standard backward, and flip the L-indexed
-    grads back. Flipping before padding instead would shift the real data
-    against the chunk grid and desync the recompute."""
+    reverse=True computes the backward of a reverse=True forward NATIVELY
+    (no flip copies): the kernel runs fully mirrored (see _bwd_kernel) over
+    natural chunk order, consuming the reverse forward's right-edge restart
+    states directly."""
     u_f, dt_f, bias_f, A_f, B_f, C_f, D_f, s = _prep_padded(
         u, delta, A, B, C, D, delta_bias, chunk_size)
     b, g, d, L, n = s["b"], s["g"], s["d"], s["L"], s["n"]
@@ -504,35 +512,47 @@ def _pallas_backward(u, delta, A, B, C, D, delta_bias, delta_softplus,
     if Lp != L or dp != d:
         gy_f = jnp.pad(gy_f, ((0, 0), (0, 0), (0, dp - d), (0, Lp - L)))
     gy_f = gy_f.reshape(BG, dp, Lp)
-    if reverse:
-        u_f, dt_f, B_f, C_f, gy_f = (x[..., ::-1] for x in
-                                     (u_f, dt_f, B_f, C_f, gy_f))
-        h0_states = h0_states[:, ::-1]
 
     db = s["db"]
     grid = (BG // gb, dp // db, nchunks)
+    # forward scans process chunks back-to-front (the adjoint recurrence
+    # flows right-to-left); reverse scans mirror everything, so their
+    # backward walks the chunks front-to-back with natural index maps
     rev = nchunks - 1
 
+    def lmap(i, jd, j):
+        return (i, jd, j if reverse else rev - j)
+
+    def lmap_n(i, jd, j):
+        return (i, 0, j if reverse else rev - j)
+
+    def smap(i, jd, j):
+        return (i, j if reverse else rev - j, jd, 0)
+
+    def omap_bc(i, jd, j):
+        return (i, jd, 0, j if reverse else rev - j)
+
     du_c, ddt_c, dA_c, dB_c, dC_c, dDb_c = pl.pallas_call(
-        functools.partial(_bwd_kernel, lc=lc, softplus=delta_softplus),
+        functools.partial(_bwd_kernel, lc=lc, softplus=delta_softplus,
+                          reverse=reverse),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((gb, db, lc), lambda i, jd, j: (i, jd, rev - j)),
-            pl.BlockSpec((gb, db, lc), lambda i, jd, j: (i, jd, rev - j)),
+            pl.BlockSpec((gb, db, lc), lmap),
+            pl.BlockSpec((gb, db, lc), lmap),
             pl.BlockSpec((gb, db, 1), lambda i, jd, j: (i, jd, 0)),
             pl.BlockSpec((gb, db, n), lambda i, jd, j: (i, jd, 0)),
-            pl.BlockSpec((gb, n, lc), lambda i, jd, j: (i, 0, rev - j)),
-            pl.BlockSpec((gb, n, lc), lambda i, jd, j: (i, 0, rev - j)),
+            pl.BlockSpec((gb, n, lc), lmap_n),
+            pl.BlockSpec((gb, n, lc), lmap_n),
             pl.BlockSpec((gb, db, 1), lambda i, jd, j: (i, jd, 0)),
-            pl.BlockSpec((gb, db, lc), lambda i, jd, j: (i, jd, rev - j)),
-            pl.BlockSpec((gb, 1, db, n), lambda i, jd, j: (i, rev - j, jd, 0)),
+            pl.BlockSpec((gb, db, lc), lmap),
+            pl.BlockSpec((gb, 1, db, n), smap),
         ],
         out_specs=(
-            pl.BlockSpec((gb, db, lc), lambda i, jd, j: (i, jd, rev - j)),
-            pl.BlockSpec((gb, db, lc), lambda i, jd, j: (i, jd, rev - j)),
+            pl.BlockSpec((gb, db, lc), lmap),
+            pl.BlockSpec((gb, db, lc), lmap),
             pl.BlockSpec((gb, db, n), lambda i, jd, j: (i, jd, 0)),
-            pl.BlockSpec((gb, 1, n, lc), lambda i, jd, j: (i, jd, 0, rev - j)),
-            pl.BlockSpec((gb, 1, n, lc), lambda i, jd, j: (i, jd, 0, rev - j)),
+            pl.BlockSpec((gb, 1, n, lc), omap_bc),
+            pl.BlockSpec((gb, 1, n, lc), omap_bc),
             pl.BlockSpec((gb, db, 2), lambda i, jd, j: (i, jd, 0)),
         ),
         out_shape=(
@@ -551,9 +571,6 @@ def _pallas_backward(u, delta, A, B, C, D, delta_bias, delta_softplus,
         interpret=_interpret(),
     )(u_f, dt_f, bias_f, A_f, B_f, C_f, D_f, gy_f, h0_states)
 
-    if reverse:
-        du_c, ddt_c = du_c[..., ::-1], ddt_c[..., ::-1]
-        dB_c, dC_c = dB_c[..., ::-1], dC_c[..., ::-1]
     du = du_c.reshape(b, g, dp, Lp)[:, :, :d, :L]
     ddelta = ddt_c.reshape(b, g, dp, Lp)[:, :, :d, :L]
     dA_bg = dA_c.reshape(b, g, dp, n)[:, :, :d, :]
