@@ -219,3 +219,35 @@ def test_xla_reverse_scan(rng):
     y_rev = selective_scan(*args, delta_softplus=True, reverse=True)
     np.testing.assert_allclose(np.asarray(y_rev), np.asarray(y_flip),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_reverse_wide_d_and_rows(rng):
+    """Reverse scan with d-blocking (wide d splits the channel axis across
+    grid cells), multiple mega chunks, and multi-row groups — the carry
+    and restart-state plumbing must mirror correctly in every grid
+    dimension."""
+    args = make_inputs(rng, b=4, g=2, d=768, n=16, l=640)
+    y_flip = selective_scan_pallas(
+        args[0][..., ::-1], args[1][..., ::-1], args[2], args[3][..., ::-1],
+        args[4][..., ::-1], args[5], args[6], delta_softplus=True,
+    )[..., ::-1]
+    y_rev = selective_scan_pallas(*args, delta_softplus=True, reverse=True)
+    np.testing.assert_allclose(np.asarray(y_rev), np.asarray(y_flip),
+                               rtol=3e-5, atol=3e-5)
+
+    def loss_rev(u, B):
+        return jnp.sum(jnp.cos(selective_scan_pallas(
+            u, args[1], args[2], B, args[4], args[5], args[6],
+            delta_softplus=True, reverse=True)))
+
+    def loss_flip(u, B):
+        return jnp.sum(jnp.cos(selective_scan_pallas(
+            u[..., ::-1], args[1][..., ::-1], args[2], B[..., ::-1],
+            args[4][..., ::-1], args[5], args[6],
+            delta_softplus=True)[..., ::-1]))
+
+    gr = jax.grad(loss_rev, argnums=(0, 1))(args[0], args[3])
+    gf = jax.grad(loss_flip, argnums=(0, 1))(args[0], args[3])
+    for name, a, b in zip(["du", "dB"], gr, gf):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-30))
+        assert rel < 1e-3, (name, rel)
