@@ -46,7 +46,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _doubling_scan(a, b, lane, lc, reverse: bool = False):
+def _doubling_scan(a, b, lane, lc, reverse: bool = False,
+                   skip_last_a: bool = False):
     """Cumulative first-order scan along the last (lane) axis:
     returns (a_cum, b_cum) with b_cum_k = sum_j (prod_{i>j..k} a_i) b_j and
     a_cum_k = prod_{0..k} a_i. ``lane`` is a (1, 1, 1, lc) iota — the mask
@@ -54,14 +55,17 @@ def _doubling_scan(a, b, lane, lc, reverse: bool = False):
     a full-array op per pass. reverse=True computes the mirrored (suffix)
     scan — the right-to-left recurrence used for time-reversed scan
     directions — at identical op count (rolls wrap the other way, masks
-    mirror)."""
+    mirror). skip_last_a=True elides the a-chain update of the FINAL pass
+    for callers that fold the carry state into b up front and never read
+    a_cum (the forward kernel) — a roll+select+mul saved per element."""
     shift = 1
     while shift < lc:
-        a_sh = pltpu.roll(a, lc - shift if reverse else shift, axis=3)
         b_sh = pltpu.roll(b, lc - shift if reverse else shift, axis=3)
         valid = lane < lc - shift if reverse else lane >= shift
         b = jnp.where(valid, b + a * b_sh, b)
-        a = jnp.where(valid, a * a_sh, a)
+        if not (skip_last_a and shift * 2 >= lc):
+            a_sh = pltpu.roll(a, lc - shift if reverse else shift, axis=3)
+            a = jnp.where(valid, a * a_sh, a)
         shift *= 2
     return a, b
 
@@ -130,8 +134,13 @@ def _fwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref, D_ref,
 
         a = jnp.exp(dt_s[:, None, :, :] * At[:, :, :, None])
         bx = (dt_s * u_s)[:, None, :, :] * Bm[:, :, None, :]
-        a_cum, b_cum = _doubling_scan(a, bx, lane, sub, reverse=reverse)
-        h = b_cum + a_cum * h0[:, :, :, None]      # (gb, n, d, sub)
+        # fold the carry state into the boundary lane's b term so the scan
+        # needs no per-lane a_cum (enables skip_last_a: the final — widest —
+        # a-chain pass is elided)
+        first = lane == (sub - 1 if reverse else 0)
+        bx = jnp.where(first, bx + a * h0[:, :, :, None], bx)
+        _, h = _doubling_scan(a, bx, lane, sub, reverse=reverse,
+                              skip_last_a=True)     # (gb, n, d, sub)
 
         y = jnp.sum(h * Cm[:, :, None, :], axis=1) + Df * u_s
         y_ref[:, :, sl] = y.astype(y_ref.dtype)
