@@ -191,8 +191,10 @@ def _bwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref, D_ref, gy_ref,
     a = jnp.exp(dt[:, None, :, :] * At[:, :, :, None])       # (gb, n, d, Lc)
     s = dt * u                                                # (gb, d, Lc)
     bx = s[:, None, :, :] * Bm[:, :, None, :]
-    a_cum, b_cum = _doubling_scan(a, bx, lane, lc, reverse=reverse)
-    h = b_cum + a_cum * h0[:, :, :, None]                     # h_t
+    first = lane == (lc - 1 if reverse else 0)
+    bx = jnp.where(first, bx + a * h0[:, :, :, None], bx)
+    _, h = _doubling_scan(a, bx, lane, lc, reverse=reverse,
+                          skip_last_a=True)                   # h_t
     if not reverse:
         h_adj = pltpu.roll(h, 1, axis=3)                      # h_{t-1}
         h_adj = jnp.where(lane >= 1, h_adj, h0[:, :, :, None])
@@ -214,8 +216,11 @@ def _bwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref, D_ref, gy_ref,
         m = pltpu.roll(a, 1, axis=3)                          # m_t = a_{t-1}
         m = jnp.where(lane >= 1, m, a_carry[:, :, :, None])
     # solve g_t = G_t + m_t g_{t±1} by doubling in the matching direction
-    m_cum, v = _doubling_scan(m, G, lane, lc, reverse=not reverse)
-    g = v + m_cum * g_carry[:, :, :, None]                    # (gb, n, d, Lc)
+    # (carry folded into the boundary lane, same trick as the forward)
+    gfirst = lane == (0 if reverse else lc - 1)
+    G = jnp.where(gfirst, G + m * g_carry[:, :, :, None], G)
+    _, g = _doubling_scan(m, G, lane, lc, reverse=not reverse,
+                          skip_last_a=True)                   # (gb, n, d, Lc)
 
     # save carry for the next grid step (earlier chunk for forward scans,
     # later chunk for reverse scans)
