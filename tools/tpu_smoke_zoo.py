@@ -24,10 +24,20 @@ class _FakeCfg:
     n_conv_per_stage_decoder = [1, 1]
 
 
+class _FakeCfg3D:
+    patch_size = [32, 32, 32]
+    UNet_base_num_features = 8
+    unet_max_num_features = 32
+    pool_op_kernel_sizes = [[1, 1, 1], [2, 2, 2], [2, 2, 2]]
+    conv_kernel_sizes = [[3, 3, 3]] * 3
+    n_conv_per_stage_encoder = [1, 1, 1]
+    n_conv_per_stage_decoder = [1, 1]
+
+
 def main():
     from mlagg_unet_tpu.models.mlla_uper import MLLAUper
     from mlagg_unet_tpu.models.mednext_net import MedNeXtNet
-    from mlagg_unet_tpu.models.vmamba import VMUNet
+    from mlagg_unet_tpu.models.vmamba import MambaUNet, VMUNet
     from mlagg_unet_tpu.models.vmunet3d import VMUNet3D
     from mlagg_unet_tpu.models.mamba_variants import (
         LightMUNet, SegMamba, UltraLightVMUNet, NNMamba,
@@ -63,6 +73,14 @@ def main():
         ("SwinUMamba", SwinUMamba(num_classes=3), x2d),
         ("SwinUMambaD", SwinUMambaD(num_classes=3), x2d),
         ("SwinTUNet", SwinTUNet(num_classes=3), x2d),
+        ("MambaUNet", MambaUNet(num_classes=3), x2d),
+        ("VMUNet3D_new_SwinT", VMUNet3D(num_classes=3, no_z=True,
+                                        use_encoder5=False,
+                                        last_stage_swin=True), x3d),
+        ("UMambaBot_SS3D", NETWORK_BUILDERS["umamba_bot_ss3d"](
+            _FakeCfg3D(), 1, 3, False), x3d),
+        ("UMambaEnc_SS3D", NETWORK_BUILDERS["umamba_enc_ss3d"](
+            _FakeCfg3D(), 1, 3, False), x3d),
     ]
 
     failures = []
