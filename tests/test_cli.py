@@ -27,6 +27,22 @@ def test_verb_name_parity_with_reference():
     assert set(entrypoints._VERBS) == _REFERENCE_VERBS
 
 
+def test_all_verbs_wired_as_console_scripts():
+    """Every verb must be installable as a console script, matching the
+    reference's 21-script surface (/root/reference/mlagg/setup.py:40-64)."""
+    root = os.path.join(os.path.dirname(__file__), "..")
+    src = open(os.path.join(root, "pyproject.toml")).read()
+    scripts = dict(re.findall(
+        r'mlaggtpu_(\w+) = "mlagg_unet_tpu\.cli\.entrypoints:(\w+)"', src))
+    # console-script names carry the reference's long-form suffixes
+    canon = {n.replace("install_pretrained_model_from_zip", "install_model")
+             .replace("export_model_to_zip", "export_model"): fn
+             for n, fn in scripts.items()}
+    assert set(canon) == _REFERENCE_VERBS
+    for verb, fn in canon.items():
+        assert entrypoints._VERBS[verb] is getattr(entrypoints, fn)
+
+
 def test_reference_setup_lists_exactly_these_verbs():
     """Guard the golden list above against silent drift: re-derive it from
     the reference setup.py when available."""
