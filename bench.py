@@ -49,9 +49,9 @@ def main():
     tile_size = (256, 224)
     num_classes = 4
     mirror_axes = (0, 1)
-    import os
-
-    tile_batch = int(os.environ.get("MLAGG_BENCH_TB", 20))  # 40 tiles/vol: 2 exact batches; 40 OOMs HBM
+    # tile batch is auto-selected from the HBM budget + XLA's compile-time
+    # memory analysis (inference/memory_budget.py) — no hand-tuned constant
+    tile_batch = None
     n_slices, H, W = 10, 320, 260
     n_volumes = 4
     n_warmup = 1

@@ -1,0 +1,107 @@
+"""HBM-aware inference memory budgeting.
+
+The reference handles device memory pressure reactively: it catches CUDA
+OOMs at runtime and retries with the logits accumulator on CPU
+(reference: inference/sliding_window_prediction.py:169-184 moves the
+accumulator GPU->CPU on RuntimeError; predict_from_raw_data.py:290-296
+retries the whole prediction with perform_everything_on_gpu=False).
+
+XLA compiles statically, so an OOM surfaces at compile/alloc time and
+cannot be caught per-op like eager CUDA. The TPU-native equivalent is to
+budget BEFORE dispatch:
+
+  (a) ask the device how much HBM it has (PJRT memory_stats, with an env
+      override and a v5e-sized default for backends that don't report),
+  (b) ask XLA's own compile-time cost model (compiled.memory_analysis())
+      how many temp bytes the TTA network forward needs per tile — exact,
+      not a folklore constant,
+  (c) pick the largest tile batch that fits, and
+  (d) when the whole-volume fp32 logits accumulator itself cannot fit,
+      fall back to a host-resident accumulator (the moral twin of the
+      reference's CPU-accumulator path) while tiles still run on device.
+"""
+from __future__ import annotations
+
+import math
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# v5e has 16 GiB HBM per chip; used only when the backend doesn't report.
+DEFAULT_HBM_BYTES = 16 * 1024 ** 3
+
+# Fraction of reported HBM we allow inference to plan against. Leaves room
+# for XLA's preallocated scratch, the compiled program, and fragmentation.
+DEFAULT_BUDGET_FRACTION = 0.80
+
+
+def device_hbm_bytes(device=None) -> int:
+    """Total device memory in bytes. Priority: MLAGG_HBM_BYTES env >
+    PJRT memory_stats()['bytes_limit'] > v5e default."""
+    env = os.environ.get("MLAGG_HBM_BYTES")
+    if env:
+        return int(env)
+    if device is None:
+        device = jax.devices()[0]
+    stats = None
+    try:
+        stats = device.memory_stats()
+    except Exception:
+        pass
+    if stats:
+        for key in ("bytes_limit", "bytes_reservable_limit"):
+            if stats.get(key):
+                return int(stats[key])
+    return DEFAULT_HBM_BYTES
+
+
+def inference_budget_bytes(device=None,
+                           fraction: float = DEFAULT_BUDGET_FRACTION) -> int:
+    return int(device_hbm_bytes(device) * fraction)
+
+
+def params_bytes(params) -> int:
+    return int(sum(x.size * x.dtype.itemsize
+                   for x in jax.tree_util.tree_leaves(params)))
+
+
+def accumulator_bytes(vol_shape: Sequence[int], num_classes: int,
+                      in_channels: int) -> int:
+    """Device-resident bytes for the fused whole-volume path: fp32 logits
+    accumulator (*vol, K), fp32 n-counts (*vol,), fp32 input volume
+    (*vol, C). (sliding_window.py VolumePredictor._build_local)."""
+    vox = int(np.prod(vol_shape))
+    return vox * 4 * (num_classes + 1 + in_channels)
+
+
+def probe_network_tile_bytes(predict_tiles_fn, tile_size: Sequence[int],
+                             in_channels: int, probe_tb: int = 2) -> int:
+    """Per-tile device temp bytes of the TTA-averaged network forward,
+    measured by compiling a probe batch and reading XLA's memory analysis.
+
+    predict_tiles_fn: (tb, *tile, C) -> (tb, *tile, K), the exact function
+    the sliding-window loop will call (mirror variants included, so the
+    V-fold batch blow-up is part of the measurement).
+    """
+    shape = (probe_tb, *tile_size, in_channels)
+    lowered = jax.jit(predict_tiles_fn).lower(
+        jax.ShapeDtypeStruct(shape, jnp.float32))
+    ma = lowered.compile().memory_analysis()
+    total = int(ma.temp_size_in_bytes + ma.output_size_in_bytes
+                + ma.argument_size_in_bytes)
+    return max(1, math.ceil(total / probe_tb))
+
+
+def select_tile_batch(budget_bytes: int, fixed_bytes: int,
+                      per_tile_bytes: int, n_tiles: int,
+                      granule: int = 1, max_tb: int = 64) -> int:
+    """Largest tile batch (multiple of granule, capped at max_tb) whose
+    network temp fits in budget - fixed. Returns at least `granule`."""
+    avail = budget_bytes - fixed_bytes
+    tb = int(avail // max(1, per_tile_bytes))
+    tb = min(tb, max_tb, max(granule, n_tiles))
+    tb = (tb // granule) * granule
+    return max(granule, tb)

@@ -53,7 +53,7 @@ class NNUNetPredictor:
         tile_step_size: float = 0.5,
         use_gaussian: bool = True,
         use_mirroring: bool = True,
-        tile_batch_size: int = 8,
+        tile_batch_size: Optional[int] = None,  # None = HBM-budget auto
         verbose: bool = False,
         allow_tqdm: bool = False,
         compute_dtype="bfloat16",

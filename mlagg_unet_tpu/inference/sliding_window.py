@@ -324,12 +324,22 @@ class VolumePredictor:
     """
 
     def __init__(self, apply_fn, params, tile_size, num_classes,
-                 mirror_axes=(), tile_batch_size=8, use_gaussian=True,
-                 compute_dtype=None, mesh=None):
+                 mirror_axes=(), tile_batch_size=None, use_gaussian=True,
+                 compute_dtype=None, mesh=None, budget_fraction=None):
         """mesh: optional jax.sharding.Mesh with a 'data' axis — tile batches
         are then sharded across devices (each device scatter-adds its tiles
         into a local accumulator; one psum merges them). The embarrassingly
-        parallel TPU analogue of the reference's per-tile GPU loop."""
+        parallel TPU analogue of the reference's per-tile GPU loop.
+
+        tile_batch_size=None (default) selects the batch from the device
+        HBM budget and XLA's compile-time memory analysis of the network
+        forward (inference/memory_budget.py). When the whole-volume fp32
+        accumulator itself cannot fit on device, prediction falls back to
+        a host-resident accumulator with tiles still running on device —
+        the TPU analogue of the reference's CPU-accumulator retry
+        (sliding_window_prediction.py:169-184,
+        predict_from_raw_data.py:290-296)."""
+        from . import memory_budget as _mb
         self.apply_fn = apply_fn
         self.params = params
         self.tile_size = tuple(tile_size)
@@ -347,7 +357,31 @@ class VolumePredictor:
                 lambda p: p.astype(compute_dtype), params)
         else:
             self.cast_params = params
+        self._mb = _mb
+        self._budget = _mb.inference_budget_bytes(
+            fraction=budget_fraction or _mb.DEFAULT_BUDGET_FRACTION)
+        self._params_bytes = _mb.params_bytes(self.cast_params)
+        self._tile_bytes_cache = {}
+        self._tile_fn_cache = {}
         self._cache = {}
+
+    def _probe_tile_bytes(self, in_channels: int) -> int:
+        """Per-tile device temp bytes of the TTA forward (cached)."""
+        key = in_channels
+        if key not in self._tile_bytes_cache:
+            self._tile_bytes_cache[key] = self._mb.probe_network_tile_bytes(
+                self._predict_tiles, self.tile_size, in_channels)
+        return self._tile_bytes_cache[key]
+
+    def _select_tb(self, n_tiles: int, in_channels: int,
+                   fixed_bytes: int) -> int:
+        """Per-device tile batch from the HBM budget; user override wins."""
+        if self.tb is not None:
+            return self.tb
+        per_tile = self._probe_tile_bytes(in_channels)
+        return self._mb.select_tile_batch(
+            self._budget, fixed_bytes + self._params_bytes, per_tile,
+            max(1, n_tiles // self.n_shards))
 
     def _predict_tiles(self, tiles):
         """(T, *tile, C) -> fp32 (T, *tile, K), TTA-averaged."""
@@ -373,8 +407,8 @@ class VolumePredictor:
             acc = acc + o
         return acc / len(self.combos)
 
-    def _build(self, vol_shape, n_batches, z_mode):
-        run = self._build_local(vol_shape, n_batches, z_mode)
+    def _build(self, vol_shape, n_batches, z_mode, tb):
+        run = self._build_local(vol_shape, n_batches, z_mode, tb)
         if self.n_shards <= 1:
             return jax.jit(run)
 
@@ -396,10 +430,9 @@ class VolumePredictor:
         )
         return jax.jit(mapped)
 
-    def _build_local(self, vol_shape, n_batches, z_mode):
+    def _build_local(self, vol_shape, n_batches, z_mode, tb):
         tile = self.tile_size
         K = self.num_classes
-        tb = self.tb
         d = len(tile)
 
         def run(volume, positions, valid, gaussian, normalize=True,
@@ -515,7 +548,21 @@ class VolumePredictor:
             positions = get_tile_positions(vol_shape, tile, 0.5)
 
         n_tiles = len(positions)
-        granule = self.tb * self.n_shards
+        C = data.shape[0]
+        fixed = self._mb.accumulator_bytes(vol_shape, self.num_classes, C)
+        if (self.tb is not None
+                and fixed + self._params_bytes < 0.5 * self._budget):
+            # user-pinned batch on a comfortably fitting volume: no probe
+            tb = self.tb
+        else:
+            # probe the network's per-tile temp; host fallback when the
+            # device-resident volume state plus one minimal batch overflows
+            min_net = (self._probe_tile_bytes(C)
+                       if fixed + self._params_bytes < self._budget else 0)
+            if fixed + self._params_bytes + min_net >= self._budget:
+                return self._run_host(padded, bounds, z_mode, positions, C)
+            tb = self._select_tb(n_tiles, C, fixed)
+        granule = tb * self.n_shards
         pad_n = (-n_tiles) % granule
         valid = np.ones(n_tiles, np.float32)
         if pad_n:
@@ -524,9 +571,9 @@ class VolumePredictor:
             valid = np.concatenate([valid, np.zeros(pad_n, np.float32)])
         n_batches = len(positions) // granule
 
-        key = (vol_shape, n_batches, z_mode)
+        key = (vol_shape, n_batches, z_mode, tb)
         if key not in self._cache:
-            self._cache[key] = self._build(vol_shape, n_batches, z_mode)
+            self._cache[key] = self._build(vol_shape, n_batches, z_mode, tb)
         run = self._cache[key]
 
         gaussian = (compute_gaussian(tile) if self.use_gaussian
@@ -535,6 +582,76 @@ class VolumePredictor:
         logits = run(volume, jnp.asarray(positions), jnp.asarray(valid),
                      jnp.asarray(gaussian))
         return logits, bounds, z_mode
+
+    # ---- host-accumulator fallback (large volumes) ----
+
+    def _tile_fn(self, tb: int, in_channels: int):
+        """Jitted standalone TTA forward for (tb, *tile, C) host batches."""
+        key = (tb, in_channels)
+        if key not in self._tile_fn_cache:
+            self._tile_fn_cache[key] = jax.jit(self._predict_tiles)
+        return self._tile_fn_cache[key]
+
+    def _run_host(self, padded, bounds, z_mode, positions, in_channels):
+        """Large-volume path: fp32 logits + n-map accumulate in host RAM;
+        tiles are gathered on host, forwarded on device in batches, and
+        fetched with a one-batch pipeline (scatter of batch b overlaps the
+        device forward of batch b+1). Mirrors the reference's
+        CPU-accumulator fallback (sliding_window_prediction.py:169-184)."""
+        tile = self.tile_size
+        K = self.num_classes
+        vol_shape = padded.shape[1:]
+        # budget only needs params + network temp for one batch
+        tb = self.tb or self._mb.select_tile_batch(
+            self._budget, self._params_bytes,
+            self._probe_tile_bytes(in_channels), len(positions))
+        gaussian = (compute_gaussian(tile) if self.use_gaussian
+                    else np.ones(tile, np.float32))
+        vol_cl = np.ascontiguousarray(np.moveaxis(padded, 0, -1))
+        acc = np.zeros((*vol_shape, K), np.float32)
+        nmap = np.zeros(vol_shape, np.float32)
+
+        fn = self._tile_fn(tb, in_channels)
+        n = len(positions)
+        pending = None
+        for b in range(0, n, tb):
+            batch_pos = positions[b: b + tb]
+            tiles = np.empty((len(batch_pos), *tile, in_channels), np.float32)
+            for i, pos in enumerate(batch_pos):
+                if z_mode:
+                    z, y, x = pos
+                    tiles[i] = vol_cl[z, y:y + tile[0], x:x + tile[1]]
+                else:
+                    sl = tuple(slice(p, p + t) for p, t in zip(pos, tile))
+                    tiles[i] = vol_cl[sl]
+            if len(batch_pos) < tb:  # pad tail to the compiled static shape
+                tiles = np.concatenate(
+                    [tiles, np.zeros((tb - len(batch_pos), *tile,
+                                      in_channels), np.float32)])
+            out = fn(jnp.asarray(tiles))
+            if hasattr(out, "copy_to_host_async"):
+                out.copy_to_host_async()
+            if pending is not None:
+                self._scatter_host(acc, nmap, *pending, gaussian, z_mode)
+            pending = (out, batch_pos)
+        if pending is not None:
+            self._scatter_host(acc, nmap, *pending, gaussian, z_mode)
+
+        acc /= nmap[..., None]
+        return acc, bounds, z_mode
+
+    @staticmethod
+    def _scatter_host(acc, nmap, tile_logits, batch_pos, gaussian, z_mode):
+        tl = np.asarray(tile_logits)
+        tile = gaussian.shape
+        for i, pos in enumerate(batch_pos):
+            if z_mode:
+                z, y, x = pos
+                sl = (z, slice(y, y + tile[0]), slice(x, x + tile[1]))
+            else:
+                sl = tuple(slice(p, p + t) for p, t in zip(pos, tile))
+            acc[sl] += tl[i] * gaussian[..., None]
+            nmap[sl] += gaussian
 
 
 def _predict_2d_over_3d(apply_fn, params, data, tile_size, num_classes,

@@ -1,0 +1,132 @@
+"""HBM-aware tile batching + large-volume host-accumulator fallback.
+
+Reference behavior being matched: sliding_window_prediction.py:169-184
+(accumulator moves to CPU on OOM) and predict_from_raw_data.py:290-296
+(whole-prediction CPU retry). The TPU design budgets up front instead:
+see mlagg_unet_tpu/inference/memory_budget.py docstring.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlagg_unet_tpu.inference import memory_budget as mb
+from mlagg_unet_tpu.inference.sliding_window import VolumePredictor
+
+
+def test_select_tile_batch_basic():
+    # 1 GiB budget, 100 MiB fixed, 50 MiB per tile -> 18 tiles fit
+    gib = 1024 ** 3
+    assert mb.select_tile_batch(gib, 100 * 2 ** 20, 50 * 2 ** 20, 1000) == 18
+    # capped at n_tiles
+    assert mb.select_tile_batch(gib, 0, 1, n_tiles=7) == 7
+    # capped at max_tb
+    assert mb.select_tile_batch(gib, 0, 1, 10 ** 6, max_tb=64) == 64
+    # granule rounding (1 GiB / 30 MiB = 34 -> rounds down to 32)
+    assert mb.select_tile_batch(gib, 0, 30 * 2 ** 20, 1000, granule=4) == 32
+    # never below granule even when nothing fits
+    assert mb.select_tile_batch(10, 100, 50, 1000, granule=2) == 2
+
+
+def test_device_hbm_env_override(monkeypatch):
+    monkeypatch.setenv("MLAGG_HBM_BYTES", str(123456789))
+    assert mb.device_hbm_bytes() == 123456789
+    monkeypatch.delenv("MLAGG_HBM_BYTES")
+    # CPU backend reports no memory_stats -> default
+    assert mb.device_hbm_bytes() == mb.DEFAULT_HBM_BYTES
+
+
+def test_accumulator_bytes():
+    assert (mb.accumulator_bytes((512, 512, 400), 14, 1)
+            == 512 * 512 * 400 * 4 * 16)
+
+
+def _linear_apply(variables, x):
+    return jnp.einsum("...c,ck->...k", x, variables["params"]["w"])
+
+
+def _linear_params(C, K, seed=0):
+    rng = np.random.RandomState(seed)
+    return {"w": jnp.asarray(rng.randn(C, K).astype(np.float32))}
+
+
+def test_probe_network_tile_bytes_scales():
+    params = _linear_params(2, 5)
+    vp = VolumePredictor(_linear_apply, params, (16, 16), 5,
+                         mirror_axes=(0, 1))
+    per_tile = vp._probe_tile_bytes(2)
+    # at minimum the 4 TTA variants' fp32 input + output live per tile
+    assert per_tile >= 16 * 16 * (2 + 5) * 4
+
+
+def test_auto_tb_matches_explicit():
+    C, K = 2, 3
+    params = _linear_params(C, K)
+    rng = np.random.RandomState(1)
+    data = rng.randn(C, 40, 40).astype(np.float32)
+    auto = VolumePredictor(_linear_apply, params, (16, 16), K,
+                           mirror_axes=(0, 1))
+    pinned = VolumePredictor(_linear_apply, params, (16, 16), K,
+                             mirror_axes=(0, 1), tile_batch_size=4)
+    np.testing.assert_allclose(auto(data), pinned(data), atol=1e-5)
+
+
+def test_host_fallback_matches_device(monkeypatch):
+    C, K = 2, 3
+    params = _linear_params(C, K)
+    rng = np.random.RandomState(2)
+    data = rng.randn(C, 5, 40, 40).astype(np.float32)  # z_mode over 3D
+
+    device_vp = VolumePredictor(_linear_apply, params, (16, 16), K,
+                                mirror_axes=(0, 1), tile_batch_size=4)
+    ref = device_vp(data)
+
+    # a budget the accumulator can never fit -> host path
+    monkeypatch.setenv("MLAGG_HBM_BYTES", "1000")
+    host_vp = VolumePredictor(_linear_apply, params, (16, 16), K,
+                              mirror_axes=(0, 1))
+    got = host_vp(data)
+    # prove the fused device graph was never built
+    assert not host_vp._cache
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_host_fallback_matches_device_3d(monkeypatch):
+    C, K = 1, 2
+    params = _linear_params(C, K)
+    rng = np.random.RandomState(3)
+    data = rng.randn(C, 24, 24, 24).astype(np.float32)
+
+    ref = VolumePredictor(_linear_apply, params, (16, 16, 16), K,
+                          tile_batch_size=2, mirror_axes=(0, 1, 2))(data)
+    monkeypatch.setenv("MLAGG_HBM_BYTES", "1000")
+    host_vp = VolumePredictor(_linear_apply, params, (16, 16, 16), K,
+                              mirror_axes=(0, 1, 2))
+    got = host_vp(data)
+    assert not host_vp._cache
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_btcv_scale_volume_no_manual_knobs(monkeypatch):
+    """The VERDICT round-2 'done' criterion: a synthetic 512x512x400
+    14-class volume predicts end-to-end with no manual tile-batch knob.
+    A 2 GiB budget emulates a device where the 6.7 GB accumulator can't
+    fit, forcing the host-accumulator path (on a 16 GiB v5e the budget
+    model keeps this volume on device with a small auto tile batch)."""
+    monkeypatch.setenv("MLAGG_HBM_BYTES", str(2 * 1024 ** 3))
+    C, K = 1, 14
+    params = _linear_params(C, K)
+    vol = np.zeros((C, 400, 512, 512), np.float32)
+    vol[:, 100:300, 128:384, 128:384] = 1.0
+    vp = VolumePredictor(_linear_apply, params, (64, 128, 128), K)
+    logits = vp(vol)
+    assert logits.shape == (K, 400, 512, 512)
+    assert np.isfinite(logits).all()
+    # 1x1 "conv" net: logits at a voxel are w.T @ x exactly (blending
+    # averages identical tile outputs)
+    w = np.asarray(params["w"])
+    np.testing.assert_allclose(logits[:, 0, 0, 0], 0.0, atol=1e-4)
+    np.testing.assert_allclose(logits[:, 200, 256, 256], w[0], atol=1e-3)
