@@ -242,20 +242,23 @@ register_trainer(TrainerConfig(
 
 def _build_mlla_unet(configuration_manager, num_input_channels,
                      num_output_channels, deep_supervision):
+    """nnUNetTrainer_MLLA_UNet.py:46-65: embed 64, depths 2/4/8/4,
+    decoder depths 1/2/2/2, mlp 4, drop_path 0.1, no deep supervision."""
     from mlagg_unet_tpu.models.mlla_unet import MLLAUNet
 
     assert len(configuration_manager.patch_size) == 2, "MLLA-UNet is 2D"
-    return MLLAUNet(num_classes=num_output_channels, embed_dim=96,
-                    depths=(2, 2, 2, 2), num_heads=(2, 4, 8, 16),
-                    deep_supervision=deep_supervision)
+    return MLLAUNet(num_classes=num_output_channels)
 
 
 NETWORK_BUILDERS["mlla_unet"] = _build_mlla_unet
 
-# MLLA baseline (linear attention + RoPE, nnUNetTrainer_MLLA_UNet.py)
+# MLLA baseline (linear attention + RoPE, nnUNetTrainer_MLLA_UNet.py:25-87:
+# AdamW 1e-4/wd 3e-5, timm cosine + 10ep warmup, 500 epochs, no DS)
 register_trainer(replace(
     TRAINER_REGISTRY["nnUNetTrainer_MLAgg_2D_dt_MS"],
     name="nnUNetTrainer_MLLA_UNet", network="mlla_unet",
+    initial_lr=1e-4, adam_eps=1e-8, enable_deep_supervision=False,
+    deep_supervision_scales_override=None,
 ))
 
 # U-Mamba variants (variants/mamba/nnUNetTrainerUMamba{Bot,Enc}.py)

@@ -401,6 +401,34 @@ def convert_reference_nnmamba_state_dict(state_dict
                                          REFERENCE_NNMAMBA_RULES)
 
 
+# MLLA_UNet baseline checkpoints (nnUNetTrainer_MLLA_UNet.py:89-850).
+# Verified by tests/test_torch_parity.py::test_mlla_unet_forward_parity.
+REFERENCE_MLLA_UNET_RULES = [
+    # constant cos/sin buffer (recomputed on the fly in our port)
+    (r"\.rope\.rotations$", None),
+    (r"^layers\.(\d+)\.blocks\.(\d+)\.", r"layer\1_block\2."),
+    (r"^layers\.(\d+)\.downsample\.conv\.(\d+)\.", r"down\1.conv_\2."),
+    (r"^layers_up\.0\.conv\.1\.", "up0.deconv."),
+    (r"^layers_up\.0\.conv\.(\d+)\.", r"up0.conv_\1."),
+    (r"^layers_up\.0\.norm\.", "up0.norm."),
+    (r"^layers_up\.(\d+)\.blocks\.(\d+)\.", r"layer_up\1_block\2."),
+    (r"^layers_up\.(\d+)\.upsample\.conv\.1\.", r"layer_up\1_upsample.deconv."),
+    (r"^layers_up\.(\d+)\.upsample\.conv\.(\d+)\.",
+     r"layer_up\1_upsample.conv_\2."),
+    (r"^layers_up\.(\d+)\.upsample\.norm\.", r"layer_up\1_upsample.norm."),
+    (r"^concat_back_dim\.(\d+)\.", r"concat_back\1."),
+    (r"^up\.expand\.", "up_expand."),
+    (r"^up\.norm\.", "up_norm."),
+    (r"^patch_embed\.conv(\d)\.(\d)\.", r"patch_embed.conv\1_\2."),
+    (r"\.cpe1\.", ".cpe1.Conv_0."),
+    (r"\.cpe2\.", ".cpe2.Conv_0."),
+    (r"\.dwc\.", ".dwc.Conv_0."),
+    (r"\.lepe\.", ".lepe.Conv_0."),
+    (r"\.fc1\.", ".Dense_0."),
+    (r"\.fc2\.", ".Dense_1."),
+]
+
+
 def _convert_reference_state_dict(state_dict, rules,
                                   k_dirs: int = 4) -> Dict[str, np.ndarray]:
     out = {}
@@ -496,6 +524,15 @@ def convert_reference_umamba_ss3d_state_dict(state_dict
     A_logs/Ds merge K=12 scan directions)."""
     return _convert_reference_state_dict(state_dict, REFERENCE_UMAMBA_RULES,
                                          k_dirs=12)
+
+
+def convert_reference_mlla_unet_state_dict(state_dict
+                                           ) -> Dict[str, np.ndarray]:
+    """torch MLLA_UNet baseline state_dict -> flax layout. BatchNorm
+    running stats come out as .../running_mean|running_var keys for the
+    caller to place into batch_stats."""
+    return _convert_reference_state_dict(state_dict,
+                                         REFERENCE_MLLA_UNET_RULES)
 
 
 def convert_reference_msvm_state_dict(state_dict) -> Dict[str, np.ndarray]:

@@ -1175,3 +1175,49 @@ def load_reference_vmunet3d(which: str = ""):
     exec(compile(src, str(path), "exec"), mod.__dict__)
     _cache[key] = mod
     return mod
+
+
+MLLA_UNET = REF_DIR / "nnUNetTrainer_MLLA_UNet.py"
+
+
+def load_reference_mlla_unet():
+    """Exec the reference MLLA_UNet baseline model section
+    (nnUNetTrainer_MLLA_UNet.py:89-850: Mlp/ConvLayer/FinalPatchExpand_X4/
+    RoPE/LinearAttention/MLLABlock/PatchMerging/PatchExpand/BasicLayer/
+    Stem/MLLA_UNet), skipping the nnunetv2-dependent trainer class."""
+    if "mlla_unet" in _cache:
+        return _cache["mlla_unet"]
+    _install_shims()
+
+    src = MLLA_UNET.read_text()
+    src = src[src.index("import torch\nimport torch.nn as nn\n"
+                        "import torch.utils.checkpoint"):]
+    src = src[: src.index("if __name__ ==")]
+    mod = types.ModuleType("ref_mlla_unet")
+    mod.__file__ = str(MLLA_UNET)
+    exec(compile(src, str(MLLA_UNET), "exec"), mod.__dict__)
+    _cache["mlla_unet"] = mod
+    return mod
+
+
+TRANSUNET = REF_DIR / "nnUNetTrainerTransUNet.py"
+
+
+def load_reference_transunet():
+    """Exec the reference TransUNet model section
+    (nnUNetTrainerTransUNet.py:70-803: ViT configs, StdConv2d/ResNetV2
+    hybrid backbone, ViT encoder, DecoderCup, VisionTransformer),
+    skipping the nnunetv2-dependent trainer class. ml_collections and
+    scipy are real in this environment."""
+    if "transunet" in _cache:
+        return _cache["transunet"]
+    _install_shims()
+
+    src = TRANSUNET.read_text()
+    src = src[src.index("import ml_collections"):]
+    src = src[: src.index("if __name__ ==")]
+    mod = types.ModuleType("ref_transunet")
+    mod.__file__ = str(TRANSUNET)
+    exec(compile(src, str(TRANSUNET), "exec"), mod.__dict__)
+    _cache["transunet"] = mod
+    return mod

@@ -617,6 +617,86 @@ def test_swin_umamba_d_forward_parity():
         assert rel < 2e-3, f"SwinUMambaD DS output {i}: rel err {rel}"
 
 
+def _load_params_with_bn(model, x_np, converted_flat):
+    """Like _load_params_strict but splits BatchNorm running stats into
+    the batch_stats collection. Returns (params, batch_stats)."""
+    import flax
+    import jax.numpy as jnp
+    import jax.random as jrandom
+
+    converted = {tuple(k.split("/")): v for k, v in converted_flat.items()}
+    bn_stats = {k: v for k, v in converted.items()
+                if k[-1] in ("running_mean", "running_var")}
+    converted = {k: v for k, v in converted.items() if k not in bn_stats}
+
+    variables = model.init(jrandom.PRNGKey(0), jnp.asarray(x_np))
+    params = variables["params"]
+    flat, _ = flax_flat(params)
+    missing = sorted(set(flat) - set(converted))
+    extra = sorted(set(converted) - set(flat))
+    assert not missing and not extra, (
+        ["flax-only: " + "/".join(k) for k in missing[:20]]
+        + ["torch-only: " + "/".join(k) for k in extra[:20]])
+    mismatched = [(k, flat[k].shape, converted[k].shape) for k in flat
+                  if tuple(flat[k].shape) != tuple(converted[k].shape)]
+    assert not mismatched, mismatched[:10]
+
+    new_params = flax.core.unfreeze(params)
+    for path, val in converted.items():
+        node = new_params
+        for p in path[:-1]:
+            node = node[p]
+        node[path[-1]] = jnp.asarray(val)
+    new_stats = flax.core.unfreeze(variables.get("batch_stats", {}))
+    for path, val in bn_stats.items():
+        node = new_stats
+        for p in path[:-1]:
+            node = node[p]
+        leaf = {"running_mean": "mean", "running_var": "var"}[path[-1]]
+        node[leaf] = jnp.asarray(val)
+    return new_params, new_stats
+
+
+def test_mlla_unet_forward_parity():
+    """MLLA_UNet comparison baseline (nnUNetTrainer_MLLA_UNet.py:709-850,
+    trainer config :48-63): conv-BN stem, linear-attention MLLA blocks,
+    conv merge/expand, concat_back_dim decoder, FinalPatchExpand_X4."""
+    import torch
+    import jax.numpy as jnp
+
+    from mlagg_unet_tpu.models.mlla_unet import MLLAUNet
+    from mlagg_unet_tpu.training.torch_import import (
+        convert_reference_mlla_unet_state_dict,
+    )
+
+    m = rt.load_reference_mlla_unet()
+    torch.manual_seed(0)
+    # non-square catches H/W transposes (RoPE axes, pixel shuffle)
+    net = m.MLLA_UNet(img_size=[64, 96], patch_size=4, in_chans=2,
+                      num_classes=4, embed_dim=64, depths=[2, 4, 8, 4],
+                      depths_decoder=[1, 2, 2, 2], num_heads=[2, 4, 8, 16],
+                      mlp_ratio=4., qkv_bias=True, drop_rate=0.0,
+                      drop_path_rate=0.1, ape=False, use_checkpoint=False)
+    net.eval()
+
+    model = MLLAUNet(num_classes=4)
+    x_np = np.random.RandomState(11).randn(1, 64, 96, 2).astype(np.float32)
+    params, stats = _load_params_with_bn(
+        model, x_np, convert_reference_mlla_unet_state_dict(
+            net.state_dict()))
+
+    with torch.no_grad():
+        ref = net(torch.from_numpy(
+            np.transpose(x_np, (0, 3, 1, 2)))).numpy()
+    ref_np = np.transpose(ref, (0, 2, 3, 1))
+    got = np.asarray(model.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x_np)),
+        np.float32)
+    assert got.shape == ref_np.shape
+    rel = np.abs(got - ref_np).max() / (np.abs(ref_np).max() + 1e-8)
+    assert rel < 2e-3, f"MLLA_UNet rel err {rel}"
+
+
 def _umamba_ref_kwargs():
     import torch.nn as nn
     return dict(conv_bias=True, norm_op=nn.InstanceNorm2d,

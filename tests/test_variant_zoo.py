@@ -106,12 +106,11 @@ def test_mlla_unet_baseline(rng):
     from mlagg_unet_tpu.models.mlla_unet import MLLAUNet
 
     m = MLLAUNet(num_classes=3, embed_dim=8, depths=(1, 1, 1, 1),
-                 num_heads=(2, 2, 4, 4), deep_supervision=True)
+                 depths_decoder=(1, 1, 1, 1), num_heads=(2, 2, 4, 4))
     x = jnp.asarray(rng.randn(1, 32, 32, 1).astype(np.float32))
-    outs = _run(m, x)
-    assert outs[0].shape == (1, 32, 32, 3)
-    assert len(outs) == 4
-    assert bool(jnp.all(jnp.isfinite(outs[0])))
+    out = _run(m, x)
+    assert out.shape == (1, 32, 32, 3)
+    assert bool(jnp.all(jnp.isfinite(out)))
 
 
 def test_rope_orthogonality(rng):
