@@ -429,6 +429,68 @@ REFERENCE_MLLA_UNET_RULES = [
 ]
 
 
+# TransUNet baseline checkpoints (nnUNetTrainerTransUNet.py:211-803).
+# Verified by tests/test_torch_parity.py::test_transunet_forward_parity.
+REFERENCE_TRANSUNET_RULES = [
+    (r"^transformer\.embeddings\.hybrid_model\.root\.conv\.",
+     "hybrid_model.root_conv."),
+    (r"^transformer\.embeddings\.hybrid_model\.root\.gn\.",
+     "hybrid_model.root_gn."),
+    (r"^transformer\.embeddings\.hybrid_model\.body\.block(\d+)\.unit(\d+)\.",
+     r"hybrid_model.block\1_unit\2."),
+    (r"^transformer\.embeddings\.patch_embeddings\.", "patch_embeddings."),
+    (r"^transformer\.embeddings\.position_embeddings$",
+     "position_embeddings"),
+    (r"^transformer\.encoder\.layer\.(\d+)\.", r"encoder_block\1."),
+    (r"^transformer\.encoder\.encoder_norm\.", "encoder_norm."),
+    (r"\.ffn\.fc1\.", ".ffn.Dense_0."),
+    (r"\.ffn\.fc2\.", ".ffn.Dense_1."),
+    (r"^decoder\.conv_more\.0\.", "conv_more.conv."),
+    (r"^decoder\.conv_more\.1\.", "conv_more.bn."),
+    (r"^decoder\.blocks\.(\d+)\.conv(\d)\.0\.",
+     r"decoder_block\1.conv\2.conv."),
+    (r"^decoder\.blocks\.(\d+)\.conv(\d)\.1\.",
+     r"decoder_block\1.conv\2.bn."),
+    (r"^segmentation_head\.0\.", "seg_head."),
+]
+
+
+def convert_reference_transunet_state_dict(state_dict
+                                           ) -> Dict[str, np.ndarray]:
+    """torch TransUNet (VisionTransformer R50-ViT-B_16) state_dict ->
+    flax layout. BatchNorm running stats come out as
+    .../running_mean|running_var keys for the caller."""
+    return _convert_reference_state_dict(state_dict,
+                                         REFERENCE_TRANSUNET_RULES)
+
+
+# SwinUNETR_2d baseline checkpoints (nnUNetTrainerSwinUNETR_2d.py:38-46,
+# monai SwinUNETR spatial_dims=2). Verified by
+# tests/test_torch_parity.py::test_swin_unetr_forward_parity.
+REFERENCE_SWIN_UNETR_RULES = [
+    (r"\.relative_position_index$", None),      # buffer, derived
+    (r"^swinViT\.layers(\d)\.0\.", r"swinViT.layers\1."),
+    (r"\.blocks\.(\d+)\.", r".blocks\1."),
+    (r"\.mlp\.linear1\.", ".mlp.Dense_0."),
+    (r"\.mlp\.linear2\.", ".mlp.Dense_1."),
+    (r"^swinViT\.patch_embed\.proj\.", "swinViT.patch_embed."),
+    # protect swin LayerNorms from the instance-norm rewrite below
+    (r"^(swinViT\..*)\.norm([12])\.", r"\1.@ln@norm\2."),
+    (r"\.transp_conv\.conv\.", ".transp_conv."),
+    (r"\.(conv1|conv2|conv3)\.conv\.", r".\1."),
+    (r"\.(norm1|norm2|norm3)\.", r".\1.GroupNorm_0."),
+    (r"^out\.conv\.conv\.", "out."),
+    (r"@ln@", ""),
+]
+
+
+def convert_reference_swin_unetr_state_dict(state_dict
+                                            ) -> Dict[str, np.ndarray]:
+    """torch (monai) SwinUNETR 2D state_dict -> flax layout."""
+    return _convert_reference_state_dict(state_dict,
+                                         REFERENCE_SWIN_UNETR_RULES)
+
+
 def _convert_reference_state_dict(state_dict, rules,
                                   k_dirs: int = 4) -> Dict[str, np.ndarray]:
     out = {}
@@ -583,3 +645,124 @@ def load_pretrained_torch_weights(params, torch_checkpoint_path: str,
 
     new_params = jax.tree_util.tree_map_with_path(maybe_replace, params)
     return new_params, n_transferred, n_total
+
+
+# ---------------------------------------------------------------------------
+# Reference checkpoint-folder import.
+#
+# The reference predictor rebuilds nets from a results folder of torch
+# checkpoints (predict_from_raw_data.py:83-99: fold_X/checkpoint_final.pth
+# with 'network_weights'/'trainer_name'/'init_args'). These helpers let
+# NNUNetPredictor.initialize_from_trained_model_folder consume such a
+# folder directly: the state_dict is converted with the family-specific
+# verified rules and strict-filled into a freshly initialized flax tree.
+# ---------------------------------------------------------------------------
+
+def _swin_umamba_d_converter(state_dict):
+    return convert_reference_swin_umamba_state_dict(state_dict,
+                                                    d_variant=True)
+
+
+CONVERTERS_BY_NETWORK = {
+    "mlla_uper": convert_reference_flagship_state_dict,
+    "mednext_b3": convert_reference_mednext_state_dict,
+    "mednext_b5": convert_reference_mednext_state_dict,
+    "umamba_bot": convert_reference_umamba_state_dict,
+    "umamba_enc": convert_reference_umamba_state_dict,
+    "umamba_bot_ss3d": convert_reference_umamba_ss3d_state_dict,
+    "umamba_enc_ss3d": convert_reference_umamba_ss3d_state_dict,
+    "segmamba": convert_reference_segmamba_state_dict,
+    "lightm_unet": convert_reference_lightm_state_dict,
+    "ultralight_vmunet": convert_reference_ultralight_state_dict,
+    "nnmamba": convert_reference_nnmamba_state_dict,
+    "vmunet": convert_reference_vmunet_state_dict,
+    "mamba_unet": convert_reference_mamba_unet_state_dict,
+    "vmunet3d": convert_reference_vmunet3d_state_dict,
+    "vmunet3d_new": convert_reference_vmunet3d_state_dict,
+    "vmunet3d_swint": convert_reference_vmunet3d_state_dict,
+    "swin_umamba": convert_reference_swin_umamba_state_dict,
+    "swin_umamba_d": _swin_umamba_d_converter,
+    "lkm_unet": convert_reference_lkm_state_dict,
+    "msvm_unet": convert_reference_msvm_state_dict,
+    "mlla_unet": convert_reference_mlla_unet_state_dict,
+    "transunet": convert_reference_transunet_state_dict,
+    "swin_unetr": convert_reference_swin_unetr_state_dict,
+}
+
+
+def convert_reference_network_state_dict(network_key: str, state_dict
+                                         ) -> Dict[str, np.ndarray]:
+    """Dispatch to the verified per-family converter by registry network
+    key (training.registry.NETWORK_BUILDERS)."""
+    conv = CONVERTERS_BY_NETWORK.get(network_key)
+    if conv is None:
+        raise KeyError(
+            f"no verified torch-checkpoint converter for network "
+            f"'{network_key}'; available: {sorted(CONVERTERS_BY_NETWORK)}")
+    return conv(state_dict)
+
+
+def reference_state_dict_to_variables(network, example_input_shape,
+                                      state_dict, network_key: str):
+    """Convert a reference torch state_dict and strict-fill it into the
+    flax module's freshly initialized tree.
+
+    example_input_shape: NHWC/NDHWC shape used only for shape inference.
+    Returns (params, model_state) where model_state is {} or
+    {'batch_stats': ...} for BatchNorm nets. Raises on any key or shape
+    mismatch — a reference checkpoint must convert exactly.
+    """
+    import flax
+    import jax
+    import jax.numpy as jnp
+    import jax.random as jrandom
+    from jax.tree_util import tree_flatten_with_path
+
+    flat_src = {tuple(k.split("/")): v for k, v in
+                convert_reference_network_state_dict(
+                    network_key, state_dict).items()}
+    bn_stats = {k: v for k, v in flat_src.items()
+                if k[-1] in ("running_mean", "running_var")}
+    flat_src = {k: v for k, v in flat_src.items() if k not in bn_stats}
+
+    x = jnp.zeros(example_input_shape, jnp.float32)
+    variables = jax.eval_shape(
+        lambda: network.init({"params": jrandom.PRNGKey(0),
+                              "dropout": jrandom.PRNGKey(1)}, x))
+    params = variables["params"]
+    flat, _ = tree_flatten_with_path(params)
+    flat = {tuple(p.key for p in path): leaf for path, leaf in flat}
+    missing = sorted(set(flat) - set(flat_src))
+    extra = sorted(set(flat_src) - set(flat))
+    if missing or extra:
+        raise ValueError(
+            "reference checkpoint does not convert exactly:\n"
+            + "\n".join("flax-only: " + "/".join(k) for k in missing[:20])
+            + "\n".join("torch-only: " + "/".join(k) for k in extra[:20]))
+    mismatched = [(k, tuple(flat[k].shape), tuple(flat_src[k].shape))
+                  for k in flat
+                  if tuple(flat[k].shape) != tuple(flat_src[k].shape)]
+    if mismatched:
+        raise ValueError(f"shape mismatches: {mismatched[:10]}")
+
+    new_params = flax.core.unfreeze(params)
+    for path, val in flat_src.items():
+        node = new_params
+        for p in path[:-1]:
+            node = node[p]
+        node[path[-1]] = jnp.asarray(val)
+
+    model_state = {}
+    if bn_stats:
+        # need real (non-eval_shape) batch_stats structure for defaults
+        stats_vars = network.init({"params": jrandom.PRNGKey(0),
+                                   "dropout": jrandom.PRNGKey(1)}, x)
+        new_stats = flax.core.unfreeze(stats_vars.get("batch_stats", {}))
+        for path, val in bn_stats.items():
+            node = new_stats
+            for p in path[:-1]:
+                node = node[p]
+            leaf = {"running_mean": "mean", "running_var": "var"}[path[-1]]
+            node[leaf] = jnp.asarray(val)
+        model_state["batch_stats"] = new_stats
+    return new_params, model_state

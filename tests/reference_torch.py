@@ -1218,6 +1218,210 @@ def load_reference_transunet():
     src = src[: src.index("if __name__ ==")]
     mod = types.ModuleType("ref_transunet")
     mod.__file__ = str(TRANSUNET)
+    # the slice uses file-top imports (:9-10) before re-importing at :363
+    import torch
+    mod.torch = torch
+    mod.nn = torch.nn
     exec(compile(src, str(TRANSUNET), "exec"), mod.__dict__)
     _cache["transunet"] = mod
+    return mod
+
+
+def load_reference_swin_unetr():
+    """Compose monai's SwinUNETR (2D) from the reference's OWN vendored
+    monai swin code: nnUNetTrainerSwinUNETR_2d.py:38-46 builds
+    ``monai.networks.nets.SwinUNETR`` directly, and the reference vendors
+    monai's swin internals with the 2D branches intact in
+    nnUNetTrainer_VMUNet3D_woinit_new_SwinT.py:588-1097 (get_window_size /
+    window_partition / window_reverse / compute_mask / WindowAttention /
+    SwinTransformerBlock / BasicLayer). Only the pieces the reference does
+    not vendor are shimmed to monai semantics here: MLPBlock (the vendored
+    block swaps in ConvolutionalGLU; its load_from at :1060-1090 documents
+    monai's mlp linear1/linear2 naming), PatchEmbed, PatchMergingV2 (= v1
+    for 2D), the SwinTransformer wrapper with proj_out normalization, and
+    the SwinUNETR encoder/decoder wiring on the shimmed
+    UnetrBasicBlock/UnetrUpBlock/UnetOutBlock."""
+    if "swin_unetr" in _cache:
+        return _cache["swin_unetr"]
+    V = load_reference_vmunet3d("_woinit_new_SwinT")
+    import itertools
+
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    from monai.networks.blocks import (UnetOutBlock, UnetrBasicBlock,
+                                       UnetrUpBlock)
+
+    class MLPBlock(nn.Module):
+        """monai MLPBlock, dropout_mode='swin' (drop2 is drop1)."""
+
+        def __init__(self, hidden_size, mlp_dim, dropout_rate=0.0):
+            super().__init__()
+            self.linear1 = nn.Linear(hidden_size, mlp_dim)
+            self.linear2 = nn.Linear(mlp_dim, hidden_size)
+            self.fn = nn.GELU()
+            self.drop1 = nn.Dropout(dropout_rate)
+            self.drop2 = self.drop1
+
+        def forward(self, x):
+            return self.drop2(self.linear2(self.drop1(self.fn(
+                self.linear1(x)))))
+
+    class PatchMergingV2(nn.Module):
+        def __init__(self, dim, norm_layer=nn.LayerNorm, spatial_dims=2):
+            super().__init__()
+            assert spatial_dims == 2
+            self.reduction = nn.Linear(4 * dim, 2 * dim, bias=False)
+            self.norm = norm_layer(4 * dim)
+
+        def forward(self, x):
+            b, h, w, c = x.shape
+            if h % 2 == 1 or w % 2 == 1:
+                x = F.pad(x, (0, 0, 0, w % 2, 0, h % 2))
+            x = torch.cat(
+                [x[:, j::2, i::2, :]
+                 for i, j in itertools.product(range(2), range(2))], -1)
+            return self.reduction(self.norm(x))
+
+    class PatchEmbed(nn.Module):
+        def __init__(self, patch_size, in_chans, embed_dim):
+            super().__init__()
+            self.patch_size = patch_size
+            self.proj = nn.Conv2d(in_chans, embed_dim, patch_size,
+                                  patch_size)
+
+        def forward(self, x):
+            _, _, h, w = x.shape
+            assert h % self.patch_size[0] == 0 \
+                and w % self.patch_size[1] == 0
+            return self.proj(x)
+
+    class BasicLayer(V.BasicLayer):
+        """monai BasicLayer: the vendored blocks (with monai's MLP put
+        back) + trailing downsample, channel-first in/out."""
+
+        def __init__(self, dim, depth, num_heads, window_size, drop_path,
+                     mlp_ratio=4.0, qkv_bias=True, drop=0.0,
+                     attn_drop=0.0, norm_layer=nn.LayerNorm,
+                     downsample=None, use_checkpoint=False):
+            super().__init__(dim=dim, depth=depth, num_heads=num_heads,
+                             window_size=window_size, drop_path=drop_path,
+                             mlp_ratio=mlp_ratio, qkv_bias=qkv_bias,
+                             drop=drop, attn_drop=attn_drop,
+                             norm_layer=norm_layer,
+                             use_checkpoint=use_checkpoint)
+            for blk in self.blocks:
+                blk.mlp = MLPBlock(dim, int(dim * mlp_ratio), drop)
+            self.downsample = None
+            if downsample is not None:
+                self.downsample = downsample(
+                    dim=dim, norm_layer=norm_layer,
+                    spatial_dims=len(window_size))
+
+        def forward(self, x):
+            x = x.permute(0, 2, 3, 1)            # b c h w -> b h w c
+            x = super().forward(x)
+            if self.downsample is not None:
+                x = self.downsample(x)
+            return x.permute(0, 3, 1, 2).contiguous()
+
+    class SwinTransformer(nn.Module):
+        def __init__(self, in_chans, embed_dim, window_size, patch_size,
+                     depths, num_heads, mlp_ratio=4.0, qkv_bias=True,
+                     drop_rate=0.0, attn_drop_rate=0.0,
+                     drop_path_rate=0.0, norm_layer=nn.LayerNorm,
+                     use_checkpoint=False):
+            super().__init__()
+            self.num_layers = len(depths)
+            self.patch_embed = PatchEmbed(patch_size, in_chans, embed_dim)
+            self.pos_drop = nn.Dropout(drop_rate)
+            dpr = [x.item()
+                   for x in torch.linspace(0, drop_path_rate, sum(depths))]
+            for i in range(self.num_layers):
+                layer = BasicLayer(
+                    dim=int(embed_dim * 2 ** i), depth=depths[i],
+                    num_heads=num_heads[i], window_size=window_size,
+                    drop_path=dpr[sum(depths[:i]):sum(depths[:i + 1])],
+                    mlp_ratio=mlp_ratio, qkv_bias=qkv_bias,
+                    drop=drop_rate, attn_drop=attn_drop_rate,
+                    norm_layer=norm_layer, downsample=PatchMergingV2,
+                    use_checkpoint=use_checkpoint)
+                setattr(self, f"layers{i + 1}", nn.ModuleList([layer]))
+
+        def proj_out(self, x, normalize=False):
+            if normalize:
+                n, ch, h, w = x.shape
+                x = x.permute(0, 2, 3, 1)
+                x = F.layer_norm(x, [ch])
+                x = x.permute(0, 3, 1, 2)
+            return x
+
+        def forward(self, x, normalize=True):
+            x0 = self.pos_drop(self.patch_embed(x))
+            x0_out = self.proj_out(x0, normalize)
+            x1 = self.layers1[0](x0.contiguous())
+            x1_out = self.proj_out(x1, normalize)
+            x2 = self.layers2[0](x1.contiguous())
+            x2_out = self.proj_out(x2, normalize)
+            x3 = self.layers3[0](x2.contiguous())
+            x3_out = self.proj_out(x3, normalize)
+            x4 = self.layers4[0](x3.contiguous())
+            x4_out = self.proj_out(x4, normalize)
+            return [x0_out, x1_out, x2_out, x3_out, x4_out]
+
+    class SwinUNETR(nn.Module):
+        def __init__(self, img_size, in_channels, out_channels,
+                     depths=(2, 2, 2, 2), num_heads=(3, 6, 12, 24),
+                     feature_size=24, norm_name="instance",
+                     drop_rate=0.0, attn_drop_rate=0.0,
+                     dropout_path_rate=0.0, normalize=True,
+                     use_checkpoint=False, spatial_dims=2):
+            super().__init__()
+            assert spatial_dims == 2 and feature_size % 12 == 0
+            fs = feature_size
+            self.normalize = normalize
+            self.swinViT = SwinTransformer(
+                in_channels, fs, (7, 7), (2, 2), depths, num_heads,
+                4.0, True, drop_rate, attn_drop_rate, dropout_path_rate,
+                nn.LayerNorm, use_checkpoint)
+            self.encoder1 = UnetrBasicBlock(2, in_channels, fs, 3, 1,
+                                            norm_name, res_block=True)
+            self.encoder2 = UnetrBasicBlock(2, fs, fs, 3, 1, norm_name,
+                                            res_block=True)
+            self.encoder3 = UnetrBasicBlock(2, 2 * fs, 2 * fs, 3, 1,
+                                            norm_name, res_block=True)
+            self.encoder4 = UnetrBasicBlock(2, 4 * fs, 4 * fs, 3, 1,
+                                            norm_name, res_block=True)
+            self.encoder10 = UnetrBasicBlock(2, 16 * fs, 16 * fs, 3, 1,
+                                             norm_name, res_block=True)
+            self.decoder5 = UnetrUpBlock(2, 16 * fs, 8 * fs, 3, 2,
+                                         norm_name, res_block=True)
+            self.decoder4 = UnetrUpBlock(2, 8 * fs, 4 * fs, 3, 2,
+                                         norm_name, res_block=True)
+            self.decoder3 = UnetrUpBlock(2, 4 * fs, 2 * fs, 3, 2,
+                                         norm_name, res_block=True)
+            self.decoder2 = UnetrUpBlock(2, 2 * fs, fs, 3, 2,
+                                         norm_name, res_block=True)
+            self.decoder1 = UnetrUpBlock(2, fs, fs, 3, 2,
+                                         norm_name, res_block=True)
+            self.out = UnetOutBlock(2, fs, out_channels)
+
+        def forward(self, x_in):
+            hidden = self.swinViT(x_in, self.normalize)
+            enc0 = self.encoder1(x_in)
+            enc1 = self.encoder2(hidden[0])
+            enc2 = self.encoder3(hidden[1])
+            enc3 = self.encoder4(hidden[2])
+            dec4 = self.encoder10(hidden[4])
+            dec3 = self.decoder5(dec4, hidden[3])
+            dec2 = self.decoder4(dec3, enc3)
+            dec1 = self.decoder3(dec2, enc2)
+            dec0 = self.decoder2(dec1, enc1)
+            out = self.decoder1(dec0, enc0)
+            return self.out(out)
+
+    mod = types.ModuleType("ref_swin_unetr")
+    mod.SwinUNETR = SwinUNETR
+    _cache["swin_unetr"] = mod
     return mod

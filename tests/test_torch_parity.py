@@ -1274,3 +1274,84 @@ def test_umamba_ss3d_parity(which, mode):
                                            ).astype(np.float32)
     _umamba_parity(net, model, x_np, f"UMamba_{which}",
                    pre_converted=converted)
+
+
+def test_transunet_forward_parity():
+    """TransUNet comparison baseline (nnUNetTrainerTransUNet.py): R50-ViT-
+    B_16 hybrid built exactly as the trainer does (:37-47 — grid=img/16,
+    n_skip=3), at 64x96 so the ResNetV2 zero-pad skip quirk (:344-349)
+    is exercised (pool VALID gives 15x23, skip padded to 16x24)."""
+    import torch
+    import jax.numpy as jnp
+
+    from mlagg_unet_tpu.models.transunet import TransUNet
+    from mlagg_unet_tpu.training.torch_import import (
+        convert_reference_transunet_state_dict,
+    )
+
+    m = rt.load_reference_transunet()
+    torch.manual_seed(0)
+    cfg = m.CONFIGS["R50-ViT-B_16"]
+    cfg.n_classes = 4
+    cfg.n_skip = 3
+    cfg.img_size = [64, 96]
+    cfg.patches.grid = (64 // 16, 96 // 16)
+    net = m.VisionTransformer(cfg, in_channels=2, img_size=[64, 96],
+                              num_classes=4)
+    net.eval()
+
+    model = TransUNet(num_classes=4)
+    x_np = np.random.RandomState(7).randn(1, 64, 96, 2).astype(np.float32)
+    params, stats = _load_params_with_bn(
+        model, x_np, convert_reference_transunet_state_dict(
+            net.state_dict()))
+
+    with torch.no_grad():
+        ref = net(torch.from_numpy(
+            np.transpose(x_np, (0, 3, 1, 2)))).numpy()
+    ref_np = np.transpose(ref, (0, 2, 3, 1))
+    got = np.asarray(model.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x_np)),
+        np.float32)
+    assert got.shape == ref_np.shape
+    rel = np.abs(got - ref_np).max() / (np.abs(ref_np).max() + 1e-8)
+    assert rel < 2e-3, f"TransUNet rel err {rel}"
+
+
+def test_swin_unetr_forward_parity():
+    """SwinUNETR_2d comparison baseline (nnUNetTrainerSwinUNETR_2d.py:
+    38-46 — monai SwinUNETR, spatial_dims=2). The torch reference is
+    composed from the reference's own vendored monai swin code (see
+    reference_torch.load_reference_swin_unetr). feature_size=24 keeps the
+    test fast; the trainer's 96 only widens channels. 64x96 exercises
+    per-axis window clamping (stage-4 grid 4x6 < 7) and the [:n,:n]
+    rel-pos index slice."""
+    import torch
+    import jax.numpy as jnp
+
+    from mlagg_unet_tpu.models.swin_unetr import SwinUNETR
+    from mlagg_unet_tpu.training.torch_import import (
+        convert_reference_swin_unetr_state_dict,
+    )
+
+    m = rt.load_reference_swin_unetr()
+    torch.manual_seed(0)
+    net = m.SwinUNETR([64, 96], 2, 4, feature_size=24, spatial_dims=2)
+    net.eval()
+
+    model = SwinUNETR(num_classes=4, feature_size=24)
+    x_np = np.random.RandomState(5).randn(1, 64, 96, 2).astype(np.float32)
+    converted = {tuple(k.split("/")): v for k, v in
+                 convert_reference_swin_unetr_state_dict(
+                     net.state_dict()).items()}
+    params = _load_params_strict(model, x_np, converted)
+
+    with torch.no_grad():
+        ref = net(torch.from_numpy(
+            np.transpose(x_np, (0, 3, 1, 2)))).numpy()
+    ref_np = np.transpose(ref, (0, 2, 3, 1))
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x_np)),
+                     np.float32)
+    assert got.shape == ref_np.shape
+    rel = np.abs(got - ref_np).max() / (np.abs(ref_np).max() + 1e-8)
+    assert rel < 2e-3, f"SwinUNETR rel err {rel}"

@@ -126,10 +126,12 @@ def test_rope_orthogonality(rng):
 
 
 def test_transunet(rng):
+    """Shrunk R50-ViT hybrid (width>=32 — GN(32) needs >=32 channels)."""
     from mlagg_unet_tpu.models.transunet import TransUNet
 
-    m = TransUNet(num_classes=2, features=(8, 16, 32), vit_dim=32,
-                  vit_depth=1, vit_heads=4)
+    m = TransUNet(num_classes=2, hidden_size=64, mlp_dim=128, num_heads=4,
+                  num_layers=1, resnet_units=(1, 1, 1), width=32,
+                  decoder_channels=(32, 16, 16, 8))
     out = _run(m, jnp.asarray(rng.randn(1, 32, 32, 1).astype(np.float32)))
     assert out.shape == (1, 32, 32, 2)
     assert bool(jnp.all(jnp.isfinite(out)))
