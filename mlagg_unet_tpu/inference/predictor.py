@@ -93,24 +93,37 @@ class NNUNetPredictor:
         plans = load_json(join(model_training_output_dir, "plans.json"))
         plans_manager = PlansManager(plans)
 
+        is_torch = checkpoint_name.endswith((".pth", ".pt"))
         parameters = []
+        torch_state_dicts = []
         trainer_name = None
         mirroring = None
         configuration_name = None
         for f in use_folds:
             f = int(f) if f != "all" else f
-            ckpt = load_checkpoint(join(model_training_output_dir,
-                                        f"fold_{f}", checkpoint_name))
+            path = join(model_training_output_dir, f"fold_{f}",
+                        checkpoint_name)
+            if is_torch:
+                # reference-format torch checkpoint
+                # (predict_from_raw_data.py:83-99)
+                import torch
+
+                ckpt = torch.load(path, map_location="cpu",
+                                  weights_only=False)
+                torch_state_dicts.append(ckpt["network_weights"])
+            else:
+                ckpt = load_checkpoint(path)
             if trainer_name is None:
                 trainer_name = ckpt["trainer_name"]
                 configuration_name = ckpt["init_args"]["configuration"]
                 mirroring = ckpt.get("inference_allowed_mirroring_axes") or ()
-            if ckpt.get("model_state"):
-                # BatchNorm-style nets: full variables dict (running stats)
-                parameters.append({"params": ckpt["network_weights"],
-                                   **ckpt["model_state"]})
-            else:
-                parameters.append(ckpt["network_weights"])
+            if not is_torch:
+                if ckpt.get("model_state"):
+                    # BatchNorm-style nets: variables dict (running stats)
+                    parameters.append({"params": ckpt["network_weights"],
+                                       **ckpt["model_state"]})
+                else:
+                    parameters.append(ckpt["network_weights"])
 
         configuration_manager = plans_manager.get_configuration(
             configuration_name)
@@ -122,6 +135,22 @@ class NNUNetPredictor:
             configuration_manager, num_input_channels,
             label_manager.num_segmentation_heads, cfg.enable_deep_supervision,
         )
+
+        if is_torch:
+            # convert each fold with the family's verified rules
+            from mlagg_unet_tpu.training.torch_import import (
+                reference_state_dict_to_variables,
+            )
+
+            example_shape = (1, *configuration_manager.patch_size,
+                             num_input_channels)
+            for sd in torch_state_dicts:
+                params, model_state = reference_state_dict_to_variables(
+                    network, example_shape, sd, cfg.network)
+                if model_state:
+                    parameters.append({"params": params, **model_state})
+                else:
+                    parameters.append(params)
 
         self.plans_manager = plans_manager
         self.configuration_manager = configuration_manager
@@ -159,16 +188,13 @@ class NNUNetPredictor:
         return sorted(folds)
 
     # ------------------------------------------------------------------
-    def predict_logits_from_preprocessed_data(self, data: np.ndarray
-                                              ) -> np.ndarray:
-        """data: (c, *spatial) preprocessed. Averages logits over folds
-        (reference :261-324)."""
-        tile_size = self.configuration_manager.patch_size
-        num_classes = self.label_manager.num_segmentation_heads
-        mirror_axes = self.allowed_mirroring_axes if self.use_mirroring else ()
-
+    def _ensure_volume_predictors(self):
         if not hasattr(self, "_volume_predictors") or \
                 self._volume_predictors is None:
+            tile_size = self.configuration_manager.patch_size
+            num_classes = self.label_manager.num_segmentation_heads
+            mirror_axes = self.allowed_mirroring_axes \
+                if self.use_mirroring else ()
             self._volume_predictors = [
                 VolumePredictor(
                     self.network.apply, params, tile_size, num_classes,
@@ -177,11 +203,37 @@ class NNUNetPredictor:
                 )
                 for params in self.list_of_parameters
             ]
-        predicted = None
-        for vp in self._volume_predictors:
-            logits = vp(data)
-            predicted = logits if predicted is None else predicted + logits
-        return predicted / len(self.list_of_parameters)
+        return self._volume_predictors
+
+    def predict_logits_from_preprocessed_data(self, data: np.ndarray
+                                              ) -> np.ndarray:
+        """data: (c, *spatial) preprocessed. Averages logits over folds
+        (reference :261-324)."""
+        return self._finalize_device_logits(
+            self._predict_logits_device(data))
+
+    # -- device-pipelined variants (predict_from_files overlap) ----------
+    def _predict_logits_device(self, data: np.ndarray):
+        """Dispatch the full fold-averaged volume graph and start the
+        device->host copy asynchronously, WITHOUT blocking. Fold logits
+        are averaged on device (one transfer per volume, not per fold).
+        Lets predict_from_files overlap volume k's fetch/export with
+        volume k+1's compute (reference overlaps via background workers,
+        predict_from_raw_data.py:211-254)."""
+        vps = self._ensure_volume_predictors()
+        acc = bounds = z_mode = None
+        for vp in vps:
+            logits, bounds, z_mode = vp._run(data)
+            acc = logits if acc is None else acc + logits
+        if len(vps) > 1:
+            acc = acc / len(vps)
+        if hasattr(acc, "copy_to_host_async"):
+            acc.copy_to_host_async()
+        return acc, bounds, z_mode
+
+    def _finalize_device_logits(self, result) -> np.ndarray:
+        """Fetch + unpad a _predict_logits_device result (blocks)."""
+        return self._volume_predictors[0].finalize(result)
 
     def predict_single_npy_array(
         self, input_image: np.ndarray, image_properties: dict,
@@ -334,6 +386,20 @@ class NNUNetPredictor:
                                 o))
                 next_i += 1
             export_futs = []
+            # 1-deep device pipeline: volume k's async device->host copy
+            # and export run while volume k+1's tiles compute on-chip
+            inflight = None  # (device result, pprops, out_trunc)
+
+            def _drain_inflight():
+                dev, pprops_, out_ = inflight
+                logits = self._finalize_device_logits(dev)
+                export_futs.append(exp_pool.submit(
+                    export_prediction_from_logits,
+                    logits, pprops_, self.configuration_manager,
+                    self.plans_manager, self.dataset_json, out_,
+                    save_probabilities,
+                ))
+
             while pending:
                 fut, out_trunc = pending.popleft()
                 pdata, pprops = fut.result()
@@ -342,16 +408,15 @@ class NNUNetPredictor:
                     pending.append(
                         (pre_pool.submit(_load_and_preprocess, f, i), o))
                     next_i += 1
-                logits = self.predict_logits_from_preprocessed_data(pdata)
-                export_futs.append(exp_pool.submit(
-                    export_prediction_from_logits,
-                    logits, pprops, self.configuration_manager,
-                    self.plans_manager, self.dataset_json, out_trunc,
-                    save_probabilities,
-                ))
+                dev = self._predict_logits_device(pdata)
+                if inflight is not None:
+                    _drain_inflight()
+                inflight = (dev, pprops, out_trunc)
                 # busy-throttle: keep at most 2*n_exp exports in flight
                 while sum(not f.done() for f in export_futs) >= 2 * n_exp:
                     wait(export_futs, return_when=FIRST_COMPLETED)
+            if inflight is not None:
+                _drain_inflight()
             for f in export_futs:
                 f.result()  # propagate worker exceptions
         return output_folder

@@ -85,6 +85,7 @@ def determine_postprocessing(
         folder_ref, folder_predictions, None, rw, file_ending,
         labels_or_regions, label_manager.ignore_label, num_processes,
     )
+    input_metrics = baseline
 
     pp_fns, pp_fn_kwargs = [], []
     source = folder_predictions
@@ -136,6 +137,7 @@ def determine_postprocessing(
             baseline["foreground_mean"]["Dice"]:
         pp_fns.append(remove_all_but_largest_component_from_segmentation)
         pp_fn_kwargs.append(per_class_kwargs)
+        baseline = pp_metrics2
         source = temp2
 
     with open(join(folder_predictions, "postprocessing.pkl"), "wb") as f:
@@ -143,6 +145,21 @@ def determine_postprocessing(
             "fn_names": [fn.__name__ for fn in pp_fns],
             "kwargs": pp_fn_kwargs,
         }, f)
+
+    # human-readable summary (reference :225-239 postprocessing.json)
+    def _jsonable_mean(summary):
+        return {str(k): v for k, v in summary["mean"].items()}
+
+    save_json({
+        "input_folder": {"foreground_mean": input_metrics["foreground_mean"],
+                         "mean": _jsonable_mean(input_metrics)},
+        "postprocessed": {"foreground_mean": baseline["foreground_mean"],
+                          "mean": _jsonable_mean(baseline)},
+        "postprocessing_fns": [fn.__name__ for fn in pp_fns],
+        "postprocessing_kwargs": [
+            {k: list(v) if isinstance(v, tuple) else v
+             for k, v in kw.items()} for kw in pp_fn_kwargs],
+    }, join(folder_predictions, "postprocessing.json"), sort_keys=False)
 
     final = folder_predictions + "_postprocessed"
     if source != final:
