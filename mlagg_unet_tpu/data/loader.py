@@ -324,3 +324,87 @@ class PrefetchLoader:
                 self._queue.get_nowait()
         except queue.Empty:
             pass
+
+
+class ProcessPrefetchLoader:
+    """Process-pool prefetcher — the GIL-free counterpart of
+    PrefetchLoader for augmentation stacks dominated by GIL-holding NumPy
+    (3D order-3 spatial aug + the seg one-hot interpolator; measured:
+    thread workers give ZERO scaling there — 0.17 b/s at 12 threads ==
+    0.18 b/s at 1). Matches the reference's process-based
+    NonDetMultiThreadedAugmenter semantics
+    (limited_length_multithreaded_augmenter.py:4, batchgenerators
+    nondet_multi_threaded_augmenter).
+
+    fork-started workers inherit make_loader without pickling; they touch
+    only NumPy/SciPy (never JAX) so the forked runtime state is inert.
+    Batches come back through a multiprocessing queue; worker exceptions
+    are forwarded as ("error", traceback) and re-raised in get_batch.
+    """
+
+    def __init__(self, make_loader, num_workers: int = 4, queue_size: int = 6,
+                 num_batches_per_epoch: int = 250):
+        import multiprocessing as mp
+
+        self.num_batches_per_epoch = num_batches_per_epoch
+        ctx = mp.get_context("fork")
+        self._queue = ctx.Queue(maxsize=queue_size)
+        self._stop = ctx.Event()
+        self._workers = []
+        for w in range(max(1, num_workers)):
+            p = ctx.Process(target=self._worker_main,
+                            args=(make_loader, w, self._queue, self._stop),
+                            daemon=True)
+            p.start()
+            self._workers.append(p)
+
+    @staticmethod
+    def _worker_main(make_loader, worker_id, q, stop):
+        import traceback
+
+        try:
+            loader = make_loader(worker_id)
+            while not stop.is_set():
+                batch = loader.generate_train_batch()
+                while not stop.is_set():
+                    try:
+                        q.put(("batch", batch), timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException:
+            try:
+                q.put(("error", traceback.format_exc()), timeout=5.0)
+            except Exception:
+                pass
+
+    def __iter__(self):
+        for _ in range(self.num_batches_per_epoch):
+            yield self.get_batch()
+
+    def get_batch(self):
+        while True:
+            try:
+                kind, payload = self._queue.get(timeout=1.0)
+            except queue.Empty:
+                if not any(p.is_alive() for p in self._workers):
+                    raise RuntimeError("all data loader workers exited")
+                continue
+            if kind == "error":
+                self.stop()
+                raise RuntimeError(
+                    f"data loader worker failed:\n{payload}")
+            return payload
+
+    def stop(self):
+        self._stop.set()
+        # drain so workers blocked on put() can exit, then reap
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass
+        for p in self._workers:
+            p.join(timeout=5.0)
+            if p.is_alive():
+                p.terminate()

@@ -39,6 +39,7 @@ from mlagg_unet_tpu.data.augment import (
 from mlagg_unet_tpu.data.dataset import nnUNetDataset, unpack_dataset
 from mlagg_unet_tpu.data.loader import (
     PrefetchLoader,
+    ProcessPrefetchLoader,
     nnUNetDataLoader2D,
     nnUNetDataLoader3D,
 )
@@ -578,11 +579,20 @@ class NNUNetTrainerTPU:
             )
 
         n_proc = default_n_proc_DA
-        self.dataloader_train = PrefetchLoader(
+        # 3D augmentation is dominated by GIL-holding NumPy (order-3
+        # spatial + seg one-hot interpolation) where threads give zero
+        # scaling — use fork processes there, threads for the cheap 2D
+        # stacks (measured 10.3 b/s vs 4 needed). Override with
+        # MLAGG_DA_BACKEND=threads|processes.
+        backend = os.environ.get("MLAGG_DA_BACKEND",
+                                 "processes" if dim == 3 else "threads")
+        loader_pool = ProcessPrefetchLoader if backend == "processes" \
+            else PrefetchLoader
+        self.dataloader_train = loader_pool(
             make_tr, num_workers=n_proc, queue_size=6,
             num_batches_per_epoch=self.cfg.num_iterations_per_epoch,
         )
-        self.dataloader_val = PrefetchLoader(
+        self.dataloader_val = loader_pool(
             make_val, num_workers=max(1, n_proc // 2), queue_size=3,
             num_batches_per_epoch=self.cfg.num_val_iterations_per_epoch,
         )

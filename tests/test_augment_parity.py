@@ -300,3 +300,39 @@ def test_no_rot_no_scale_is_center_crop():
     out, _ = aug.spatial_augment(data, None, (10, 12), {"x": (-1, 1)},
                                  rng=rng)
     np.testing.assert_array_equal(out[0], data[0, 5:15, 5:17])
+
+
+def test_bbox_crop_matches_uncropped_interpolation():
+    """spatial_augment crops the input to the sampled bbox (+20-voxel
+    spline margin) before map_coordinates; the result must match direct
+    interpolation over the FULL inflated volume (the IIR prefilter's
+    influence decays by |z1|~0.268/voxel, so 20 voxels => ~1e-12). Also
+    covers the seg path: border cval semantics must survive the crop."""
+    from scipy.ndimage import map_coordinates
+
+    inflated = (40, 46, 44)
+    patch = (20, 22, 18)
+    rs = np.random.RandomState(3)
+    data = rs.randn(1, *inflated)
+    seg = rs.randint(0, 4, size=(1, *inflated)).astype(np.int8)
+    ax, ay, az, sc = 0.3, -0.2, 0.1, 1.2  # zoom-out: samples reach edges
+    rng = ScriptedRNG([0.0, 0.0, ax, ay, az, 0.9, sc])
+    out, oseg = aug.spatial_augment(
+        data, seg, patch, {"x": (ax, ax), "y": (ay, ay), "z": (az, az)},
+        scale_range=(0.7, 1.4), rng=rng, order_data=3, order_seg=1,
+    )
+
+    # reference computation without any cropping
+    M = _bg_rot3d(ax, ay, az)
+    c_out = (np.array(patch) - 1) / 2.0
+    c_in = (np.array(inflated) - 1) / 2.0
+    mesh = np.stack(np.meshgrid(*[np.arange(s, dtype=float) for s in patch],
+                                indexing="ij"))
+    rel = mesh - c_out[:, None, None, None]
+    coords = np.einsum("ij,jzyx->izyx", M.T, rel) * sc \
+        + c_in[:, None, None, None]
+    expected = map_coordinates(data[0], coords, order=3, mode="constant",
+                               cval=0.0)
+    np.testing.assert_allclose(out[0], expected, atol=1e-6)
+    expected_seg = aug._interpolate_seg(seg[0], coords, 1, -1)
+    np.testing.assert_array_equal(oseg[0], expected_seg)

@@ -275,3 +275,38 @@ def test_prefetch_loader_detects_dead_workers():
     with pytest.raises(RuntimeError):
         loader.get_batch()
     loader.stop()
+
+
+def test_process_prefetch_loader_batches_and_errors():
+    """Fork-based process pool (3D DA backend): delivers numpy batches
+    from worker processes, propagates worker exceptions with traceback,
+    and reaps children on stop()."""
+    import numpy as np
+
+    from mlagg_unet_tpu.data.loader import ProcessPrefetchLoader
+
+    class Small:
+        def __init__(self, wid):
+            self.rng = np.random.RandomState(wid)
+
+        def generate_train_batch(self):
+            return {"data": self.rng.randn(2, 8, 8).astype(np.float32),
+                    "target": np.zeros((2, 8, 8), np.int32)}
+
+    loader = ProcessPrefetchLoader(lambda w: Small(w), num_workers=2,
+                                   queue_size=2, num_batches_per_epoch=4)
+    batches = [loader.get_batch() for _ in range(4)]
+    assert all(b["data"].shape == (2, 8, 8) for b in batches)
+    assert batches[0]["data"].dtype == np.float32
+    loader.stop()
+    assert not any(p.is_alive() for p in loader._workers)
+
+    class Boom:
+        def generate_train_batch(self):
+            raise ValueError("synthetic process failure")
+
+    loader = ProcessPrefetchLoader(lambda w: Boom(), num_workers=2,
+                                   queue_size=1, num_batches_per_epoch=3)
+    with pytest.raises(RuntimeError, match="synthetic process failure"):
+        loader.get_batch()
+    loader.stop()
