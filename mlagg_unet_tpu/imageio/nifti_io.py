@@ -181,7 +181,8 @@ class SimpleITKIO(NiftiIO):
     breadth: dispatches per file extension to the pure-NumPy NIfTI,
     MetaImage, or NRRD codec."""
 
-    supported_file_endings = [".nii", ".nii.gz", ".mha", ".mhd", ".nrrd"]
+    supported_file_endings = [".nii", ".nii.gz", ".mha", ".mhd", ".nrrd",
+                              ".gipl"]
 
     @staticmethod
     def _delegate(fname: str):
@@ -194,6 +195,10 @@ class SimpleITKIO(NiftiIO):
             from mlagg_unet_tpu.imageio.nrrd_io import NrrdIO
 
             return NrrdIO()
+        if low.endswith(".gipl"):
+            from mlagg_unet_tpu.imageio.gipl_io import GiplIO
+
+            return GiplIO()
         return None
 
     def read_images(self, image_fnames) -> Tuple[np.ndarray, dict]:

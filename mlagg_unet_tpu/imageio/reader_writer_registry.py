@@ -17,6 +17,7 @@ from mlagg_unet_tpu.imageio.nifti_io import (
     NiftiIO,
     SimpleITKIO,
 )
+from mlagg_unet_tpu.imageio.gipl_io import GiplIO
 from mlagg_unet_tpu.imageio.metaimage_io import MetaImageIO
 from mlagg_unet_tpu.imageio.nrrd_io import NrrdIO
 from mlagg_unet_tpu.imageio.numpy_io import NumpyIO
@@ -26,8 +27,8 @@ from mlagg_unet_tpu.imageio.tiff_io import Tiff3DIO
 # (the reference's main tif use-case, Dataset073); 2D tif datasets select
 # NaturalImage2DIO via overwrite_image_reader_writer in dataset.json.
 LIST_OF_IO_CLASSES = [NiftiIO, SimpleITKIO, NibabelIO, NibabelIOWithReorient,
-                      MetaImageIO, NrrdIO, Tiff3DIO, NaturalImage2DIO,
-                      NumpyIO]
+                      MetaImageIO, NrrdIO, GiplIO, Tiff3DIO,
+                      NaturalImage2DIO, NumpyIO]
 
 _BY_NAME = {cls.__name__: cls for cls in LIST_OF_IO_CLASSES}
 

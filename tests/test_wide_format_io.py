@@ -91,3 +91,47 @@ def test_registry_resolves_new_endings():
         "NiftiIO", "SimpleITKIO", "MetaImageIO")
     cls = determine_reader_writer_from_file_ending(".nrrd")
     assert cls.supported_file_endings  # resolves without error
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.int16, np.float32])
+def test_gipl_roundtrip(tmp_path, rng, dtype):
+    from mlagg_unet_tpu.imageio.gipl_io import read_gipl, write_gipl
+
+    data = (rng.randn(5, 6, 7) * 50).astype(dtype)
+    f = str(tmp_path / "x.gipl")
+    write_gipl(f, data, (1.5, 2.0, 3.0), origin_xyz=(4.0, 5.0, 6.0))
+    back, hdr = read_gipl(f)
+    np.testing.assert_array_equal(back, data)
+    assert hdr["dims"][:3] == (7, 6, 5)  # x y z on disk
+    np.testing.assert_allclose(hdr["pixdim"][:3], (1.5, 2.0, 3.0))
+    np.testing.assert_allclose(hdr["origin"][:3], (4.0, 5.0, 6.0))
+
+
+def test_gipl_io_class_contract(tmp_path, rng):
+    from mlagg_unet_tpu.imageio.gipl_io import GiplIO, write_gipl
+
+    io = GiplIO()
+    seg = (rng.rand(4, 5, 6) > 0.6).astype(np.uint8)
+    src = str(tmp_path / "img.gipl")
+    write_gipl(src, seg, (1.0, 2.0, 4.0))
+    img, props = io.read_images([src])
+    assert img.dtype == np.float32 and img.shape == (1, 4, 5, 6)
+    assert props["spacing"] == (4.0, 2.0, 1.0)
+    out = str(tmp_path / "seg.gipl")
+    io.write_seg(img[0].astype(np.uint8), out, props)
+    back, props2 = io.read_seg(out)
+    np.testing.assert_array_equal(back[0], seg)
+    assert props2["spacing"] == props["spacing"]
+
+
+def test_gipl_registry_and_simpleitkio_dispatch(tmp_path, rng):
+    cls = determine_reader_writer_from_file_ending(".gipl")
+    assert cls.supported_file_endings
+    seg = (rng.rand(3, 4, 5) * 3).astype(np.uint8)
+    io = SimpleITKIO()
+    props = {"spacing": (1.0, 1.0, 1.0)}
+    f = str(tmp_path / "x.gipl")
+    io.write_seg(seg, f, props)
+    back, p = io.read_seg(f)
+    np.testing.assert_array_equal(back[0], seg)
+    assert tuple(p["spacing"]) == (1.0, 1.0, 1.0)
