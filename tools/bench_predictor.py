@@ -9,8 +9,12 @@ copy, and export workers (reference semantics:
 predict_from_raw_data.py:211-254).
 
 chip idle % = 1 - (device busy time from the jax.profiler trace /
-wall time of the predict loop). On CPU backend the number still
-exercises the machinery but only the TPU run is meaningful.
+wall time of the predict loop). Requires the real chip: on the 1-core
+CPU runner even MLAGG_BENCH_TINY=1 (shrunken net + volumes) cannot push
+a volume through the fused sliding-window graph in bounded time — the
+predict path itself is covered by tests/test_posthoc.py and
+tests/test_reference_ckpt_import.py, and the trace parsing by
+tools/profile_bench.py.
 
 Usage: python tools/bench_predictor.py [n_volumes] [n_folds]
 Prints one JSON line.
@@ -54,9 +58,11 @@ def main():
         os.makedirs(raw)
         os.makedirs(pre)
         paths.nnUNet_raw, paths.nnUNet_preprocessed = raw, pre
+        tiny = os.environ.get("MLAGG_BENCH_TINY") == "1"
         generate_synthetic_dataset(raw, "Dataset995_PB",
                                    num_train=n_volumes, num_test=0,
-                                   shape=(10, 320, 260), seed=0)
+                                   shape=(4, 280, 230) if tiny
+                                   else (10, 320, 260), seed=0)
         DatasetFingerprintExtractor("Dataset995_PB", num_processes=1).run()
         ExperimentPlanner("Dataset995_PB").plan_experiment()
         plans = load_json(join(pre, "Dataset995_PB", "nnUNetPlans.json"))
@@ -65,9 +71,13 @@ def main():
         plans_manager = PlansManager(plans)
         num_classes = len(dataset_json["labels"])
 
+        # MLAGG_BENCH_TINY=1: machinery smoke (CPU) with a shrunken net —
+        # only the full flagship on the real chip is a meaningful number
         model = MLLAUper(
-            out_channels=num_classes, embed_dim=96, patch_size=2,
-            depths=(2, 2, 2, 2), num_heads=(2, 4, 8, 16), mlp_ratio=2,
+            out_channels=num_classes,
+            embed_dim=16 if tiny else 96, patch_size=2,
+            depths=(1, 1, 1, 1) if tiny else (2, 2, 2, 2),
+            num_heads=(2, 2, 2, 2) if tiny else (2, 4, 8, 16), mlp_ratio=2,
             sr_ratio=(16, 8, 4, 2), drop_path_rate=0.1,
             deep_supervision=True,
         )
