@@ -1,0 +1,345 @@
+"""Fused on-device training augmentation (SURVEY §7 "performance option").
+
+The host pipeline (data/augment.py) is the semantics reference — exact
+batchgenerators math, order-3 splines — but it is host-CPU-bound: a
+BTCV-scale 3D batch costs ~5 s of single-core NumPy/SciPy. This module
+runs the same transform stack INSIDE jit on the accelerator, vmapped
+over the batch, so augmentation rides the chip and the host loader only
+crops raw patches (reference get_training_transforms semantics,
+nnUNetTrainer.py:643-733).
+
+Semantic deltas vs the host path (both blessed by reference variants):
+  * spatial resampling is order-1 for data and order-0 (nearest) for seg
+    — `jax.scipy.ndimage.map_coordinates` supports order<=1. These are
+    exactly the semantics of the reference's nnUNetTrainerDAOrd0 /
+    nnUNetTrainerDASegOrd0 trainer variants; nearest seg sampling can
+    never invent phantom labels, so no one-hot pass is needed.
+  * low-res simulation upsamples at order 1 instead of order 3 (the
+    nearest-neighbour downsample — the transform's point — is exact,
+    pixel-area aligned like skimage/grid_mode).
+Every other transform (noise, blur, brightness, contrast, gamma,
+mirror) follows the batchgenerators formulas exactly; per-transform
+equivalence against the host implementations is tested in
+tests/test_device_augment.py with injected parameters.
+
+Probability gates use compute-both-and-select (no data-dependent
+control flow under jit); the waste is one fused elementwise pass per
+gated transform, which the accelerator absorbs.
+"""
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.ndimage import map_coordinates
+
+
+def _uniform(key, lo, hi, shape=()):
+    return jax.random.uniform(key, shape, jnp.float32, lo, hi)
+
+
+def _rot2d(a):
+    c, s = jnp.cos(a), jnp.sin(a)
+    return jnp.stack([jnp.stack([c, -s]), jnp.stack([s, c])])
+
+
+def _rot3d(ax, ay, az):
+    """batchgenerators create_matrix_rotation chain: I @ Rx @ Ry @ Rz
+    (augmentations/utils.py; mirrors augment.py _rot_matrix_3d)."""
+    cx, sx = jnp.cos(ax), jnp.sin(ax)
+    cy, sy = jnp.cos(ay), jnp.sin(ay)
+    cz, sz = jnp.cos(az), jnp.sin(az)
+    one, zero = jnp.float32(1), jnp.float32(0)
+    rx = jnp.stack([jnp.stack([one, zero, zero]),
+                    jnp.stack([zero, cx, -sx]),
+                    jnp.stack([zero, sx, cx])])
+    ry = jnp.stack([jnp.stack([cy, zero, sy]),
+                    jnp.stack([zero, one, zero]),
+                    jnp.stack([-sy, zero, cy])])
+    rz = jnp.stack([jnp.stack([cz, -sz, zero]),
+                    jnp.stack([sz, cz, zero]),
+                    jnp.stack([zero, zero, one])])
+    return rx @ ry @ rz
+
+
+def spatial_augment_device(data, seg, key, patch_size: Sequence[int],
+                           rotation_for_da: dict,
+                           scale_range=(0.7, 1.4),
+                           p_rot=0.2, p_scale=0.2):
+    """data (C, *inflated) f32, seg (*inflated,) -> center patch with the
+    host spatial_augment coordinate chain (augment.py:87-155): rotation
+    applied transposed, zoom-out-biased scale, center crop. Data order 1,
+    seg order 0 ('constant' border: 0 / -1)."""
+    dim = len(patch_size)
+    kg1, kg2, ka1, ka2, ka3, kb, ks = jax.random.split(key, 7)
+    do_rot = _uniform(kg1, 0, 1) < p_rot
+    do_scale = _uniform(kg2, 0, 1) < p_scale
+
+    grids = jnp.meshgrid(
+        *[jnp.arange(s, dtype=jnp.float32) - (s - 1) / 2
+          for s in patch_size], indexing="ij")
+    coords = jnp.stack([g.ravel() for g in grids])  # (dim, P)
+
+    if dim == 2:
+        a = _uniform(ka1, *rotation_for_da["x"])
+        rot = _rot2d(a)
+    else:
+        ax = _uniform(ka1, *rotation_for_da["x"])
+        ay = _uniform(ka2, *rotation_for_da["y"])
+        az = _uniform(ka3, *rotation_for_da["z"])
+        rot = _rot3d(ax, ay, az)
+    # transposed application (coords^T @ M), as the host path
+    rotated = rot.T @ coords
+    coords = jnp.where(do_rot, rotated, coords)
+
+    # zoom-out-biased scale sampling (augment.py:131-137)
+    branch = _uniform(kb, 0, 1) < 0.5
+    lo = _uniform(ks, scale_range[0], 1.0)
+    hi = _uniform(ks, max(scale_range[0], 1.0), scale_range[1])
+    sc = jnp.where(jnp.logical_and(branch, scale_range[0] < 1), lo, hi)
+    coords = jnp.where(do_scale, coords * sc, coords)
+
+    ctr = jnp.array([(s - 1) / 2 for s in data.shape[1:]], jnp.float32)
+    coords = coords + ctr[:, None]
+    coords = coords.reshape(dim, *patch_size)
+
+    out_data = jax.vmap(
+        lambda ch: map_coordinates(ch, list(coords), order=1,
+                                   mode="constant", cval=0.0))(data)
+    out_seg = map_coordinates(seg.astype(jnp.float32), list(coords),
+                              order=0, mode="constant", cval=-1.0)
+    return out_data, out_seg
+
+
+def gaussian_noise_device(data, key, p=0.1, noise_variance=(0, 0.1)):
+    kg, kv, kn = jax.random.split(key, 3)
+    var = _uniform(kv, *noise_variance)
+    noise = jax.random.normal(kn, data.shape, jnp.float32) * jnp.sqrt(var)
+    return jnp.where(_uniform(kg, 0, 1) < p, data + noise, data)
+
+
+def _gauss_kernel(sigma, radius: int):
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    w = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return w / w.sum()
+
+
+def _blur_axis(x, w, axis, radius):
+    """Separable 1D correlation along axis, scipy 'reflect' border."""
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (radius, radius)
+    xp = jnp.pad(x, pad, mode="symmetric")  # scipy 'reflect'
+    xp = jnp.moveaxis(xp, axis, -1)
+    lead = xp.shape[:-1]
+    flat = xp.reshape(-1, 1, xp.shape[-1])  # (N, C=1, L+2r)
+    y = jax.lax.conv_general_dilated(
+        flat, w[None, None, :], (1,), [(0, 0)],
+        dimension_numbers=("NCH", "OIH", "NCH"))
+    y = y.reshape(*lead, y.shape[-1])
+    return jnp.moveaxis(y, -1, axis)
+
+
+def gaussian_blur_device(data, key, p=0.2, sigma_range=(0.5, 1.0),
+                         p_per_channel=0.5, radius: int = 4):
+    """scipy gaussian_filter(sigma, truncate=4) ~ radius 4 for sigma<=1."""
+    C = data.shape[0]
+    kg, krest = jax.random.split(key)
+    apply_all = _uniform(kg, 0, 1) < p
+
+    def blur_one(ch, k):
+        kc, ksig = jax.random.split(k)
+        sigma = _uniform(ksig, *sigma_range)
+        w = _gauss_kernel(sigma, radius)
+        y = ch
+        for ax in range(ch.ndim):
+            y = _blur_axis(y, w, ax, radius)
+        take = jnp.logical_and(apply_all, _uniform(kc, 0, 1) < p_per_channel)
+        return jnp.where(take, y, ch)
+
+    return jax.vmap(blur_one)(data, jax.random.split(krest, C))
+
+
+def brightness_multiplicative_device(data, key, p=0.15,
+                                     mult_range=(0.75, 1.25),
+                                     per_channel=True):
+    C = data.shape[0]
+    kg, km = jax.random.split(key)
+    if per_channel:
+        m = _uniform(km, *mult_range, (C,) + (1,) * (data.ndim - 1))
+    else:
+        m = _uniform(km, *mult_range)
+    return jnp.where(_uniform(kg, 0, 1) < p, data * m, data)
+
+
+def contrast_augmentation_device(data, key, p=0.15,
+                                 contrast_range=(0.75, 1.25),
+                                 preserve_range=True):
+    C = data.shape[0]
+    kg, kf = jax.random.split(key)
+    axes = tuple(range(1, data.ndim))
+    factor = _uniform(kf, *contrast_range, (C,) + (1,) * (data.ndim - 1))
+    mn = data.mean(axis=axes, keepdims=True)
+    out = (data - mn) * factor + mn
+    if preserve_range:
+        out = jnp.clip(out, data.min(axis=axes, keepdims=True),
+                       data.max(axis=axes, keepdims=True))
+    return jnp.where(_uniform(kg, 0, 1) < p, out, data)
+
+
+def _lowres_axis(x, zoom, axis, ignore):
+    """Composed nearest-down + linear-up along one axis with pixel-area
+    (grid_mode) alignment and edge clamping, dynamic zoom, static shape."""
+    n = x.shape[axis]
+    t = jnp.clip(jnp.round(n * zoom), 1, n)  # dynamic target length
+    j = jnp.arange(n, dtype=jnp.float32)
+    # up-map: out j -> down coord p (grid_mode)
+    pcoord = (j + 0.5) * t / n - 0.5
+    i0 = jnp.floor(pcoord)
+    frac = pcoord - i0
+    i0c = jnp.clip(i0, 0, t - 1)
+    i1c = jnp.clip(i0 + 1, 0, t - 1)
+
+    def src(i):
+        # down-map: down i -> input index (nearest, grid_mode)
+        s = jnp.round((i + 0.5) * n / t - 0.5)
+        return jnp.clip(s, 0, n - 1).astype(jnp.int32)
+
+    g0 = jnp.take(x, src(i0c), axis=axis)
+    g1 = jnp.take(x, src(i1c), axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = n
+    fr = frac.reshape(shape)
+    y = g0 * (1 - fr) + g1 * fr
+    return x if ignore else y
+
+
+def simulate_low_resolution_device(data, key, p=0.25, zoom_range=(0.5, 1.0),
+                                   p_per_channel=0.5, ignore_axes=()):
+    C = data.shape[0]
+    kg, krest = jax.random.split(key)
+    apply_all = _uniform(kg, 0, 1) < p
+
+    def one(ch, k):
+        kc, kz = jax.random.split(k)
+        z = _uniform(kz, *zoom_range)
+        y = ch
+        for ax in range(ch.ndim):
+            y = _lowres_axis(y, z, ax, ax in tuple(ignore_axes))
+        take = jnp.logical_and(apply_all, _uniform(kc, 0, 1) < p_per_channel)
+        return jnp.where(take, y, ch)
+
+    return jax.vmap(one)(data, jax.random.split(krest, C))
+
+
+def gamma_transform_device(data, key, p, gamma_range=(0.7, 1.5),
+                           invert_image=False, retain_stats=True,
+                           epsilon=1e-7):
+    """Per-channel batchgenerators gamma (augment.py:397-423)."""
+    C = data.shape[0]
+    kg, krest = jax.random.split(key)
+    apply_all = _uniform(kg, 0, 1) < p
+    axes = None  # per-channel full reduce
+
+    def one(ch, k):
+        kb, klo, khi = jax.random.split(k, 3)
+        sl = -ch if invert_image else ch
+        mn, sd = sl.mean(), sl.std()
+        branch = _uniform(kb, 0, 1) < 0.5
+        glo = _uniform(klo, gamma_range[0], 1.0)
+        ghi = _uniform(khi, max(gamma_range[0], 1.0), gamma_range[1])
+        gamma = jnp.where(jnp.logical_and(branch, gamma_range[0] < 1),
+                          glo, ghi)
+        minm = sl.min()
+        rnge = sl.max() - minm
+        y = jnp.power((sl - minm) / (rnge + epsilon), gamma) * rnge + minm
+        if retain_stats:
+            y = (y - y.mean()) / (y.std() + 1e-8) * sd + mn
+        y = -y if invert_image else y
+        return jnp.where(apply_all, y, ch)
+
+    return jax.vmap(one)(data, jax.random.split(krest, C))
+
+
+def mirror_device(data, seg, key, mirror_axes: Tuple[int, ...]):
+    """Random flips; spatial axis i of the sample = data axis i+1."""
+    keys = jax.random.split(key, len(mirror_axes))
+    for k, ax in zip(keys, mirror_axes):
+        flip = _uniform(k, 0, 1) < 0.5
+        data = jnp.where(flip, jnp.flip(data, axis=ax + 1), data)
+        seg = jnp.where(flip, jnp.flip(seg, axis=ax), seg)
+    return data, seg
+
+
+class DeviceTrainingTransforms:
+    """jit-compiled batch augmentation: (B, C, *inflated) f32 data +
+    (B, *inflated) seg -> (B, *patch, C) data (NHWC device layout) +
+    (B, *patch) int32 seg. Same stack and parameters as the host
+    TrainingTransforms (augment.py:420-500) minus cascade handling."""
+
+    def __init__(self, patch_size, rotation_for_da, mirror_axes,
+                 scale_range=(0.7, 1.4)):
+        self.patch_size = tuple(int(p) for p in patch_size)
+        self.rotation_for_da = rotation_for_da
+        self.mirror_axes = tuple(mirror_axes or ())
+        self.scale_range = scale_range
+        self._fn = jax.jit(self._batch)
+
+    def _sample(self, data, seg, key):
+        ks = jax.random.split(key, 9)
+        data, seg = spatial_augment_device(
+            data, seg, ks[0], self.patch_size, self.rotation_for_da,
+            self.scale_range)
+        data = gaussian_noise_device(data, ks[1])
+        data = gaussian_blur_device(data, ks[2])
+        data = brightness_multiplicative_device(data, ks[3])
+        data = contrast_augmentation_device(data, ks[4])
+        data = simulate_low_resolution_device(data, ks[5])
+        data = gamma_transform_device(data, ks[6], p=0.1, invert_image=True)
+        data = gamma_transform_device(data, ks[7], p=0.3,
+                                      invert_image=False)
+        if self.mirror_axes:
+            data, seg = mirror_device(data, seg, ks[8], self.mirror_axes)
+        seg = jnp.where(seg == -1, 0, seg)  # RemoveLabelTransform
+        return data, seg
+
+    def _batch(self, data, seg, key):
+        B = data.shape[0]
+        d, s = jax.vmap(self._sample)(data, seg,
+                                      jax.random.split(key, B))
+        return jnp.moveaxis(d, 1, -1), s.astype(jnp.int32)
+
+    def __call__(self, data, seg, key):
+        return self._fn(data, seg, key)
+
+
+class DeviceAugLoader:
+    """Wraps a prefetch loader whose workers only crop (transforms=None,
+    so batches arrive at the INFLATED patch size) and applies the fused
+    device augmentation in get_batch. The host stays a thin IO path; the
+    per-batch transform cost rides the accelerator."""
+
+    def __init__(self, inner, transforms: DeviceTrainingTransforms,
+                 seed: int = 0):
+        self._inner = inner
+        self._tf = transforms
+        self._key = jax.random.PRNGKey(seed)
+        self.num_batches_per_epoch = inner.num_batches_per_epoch
+
+    def get_batch(self):
+        batch = self._inner.get_batch()
+        self._key, k = jax.random.split(self._key)
+        data = jnp.moveaxis(jnp.asarray(batch["data"]), -1, 1)
+        seg = jnp.asarray(batch["target"], jnp.float32)
+        d, s = self._tf(data, seg, k)
+        out = dict(batch)
+        out["data"], out["target"] = d, s
+        return out
+
+    def __iter__(self):
+        for _ in range(self.num_batches_per_epoch):
+            yield self.get_batch()
+
+    def stop(self):
+        self._inner.stop()

@@ -547,6 +547,26 @@ class NNUNetTrainerTPU:
         val_transforms = ValidationTransforms(patch_size, is_cascaded,
                                               fg_labels)
 
+        # fused on-device augmentation (opt-in performance path): workers
+        # only crop the inflated patch; the transform stack runs jitted on
+        # the accelerator (data/device_augment.py). Host path remains the
+        # default and handles dummy-2D / cascade / DA5.
+        use_device_aug = (
+            os.environ.get("MLAGG_DEVICE_AUG") == "1"
+            and not self.cfg.disable_da and not do_dummy_2d
+            and not is_cascaded and self.cfg.da_level != "DA5"
+        )
+        device_aug = None
+        if use_device_aug:
+            from mlagg_unet_tpu.data.device_augment import (
+                DeviceAugLoader,
+                DeviceTrainingTransforms,
+            )
+
+            device_aug = DeviceTrainingTransforms(patch_size, rotation,
+                                                  mirror_axes)
+            tr_transforms = None  # loader emits the inflated patch
+
         annotated_key = tuple(self.label_manager.all_labels)
         loader_cls = nnUNetDataLoader2D if dim == 2 else nnUNetDataLoader3D
         batch_size = self.configuration_manager.batch_size
@@ -592,6 +612,12 @@ class NNUNetTrainerTPU:
             make_tr, num_workers=n_proc, queue_size=6,
             num_batches_per_epoch=self.cfg.num_iterations_per_epoch,
         )
+        if use_device_aug:
+            from mlagg_unet_tpu.data.device_augment import DeviceAugLoader
+
+            self.dataloader_train = DeviceAugLoader(
+                self.dataloader_train, device_aug,
+                seed=777 + (0 if self.fold == "all" else int(self.fold)))
         self.dataloader_val = loader_pool(
             make_val, num_workers=max(1, n_proc // 2), queue_size=3,
             num_batches_per_epoch=self.cfg.num_val_iterations_per_epoch,

@@ -1,0 +1,245 @@
+"""On-device augmentation (data/device_augment.py) vs the host
+batchgenerators-exact implementations (data/augment.py).
+
+RNG streams differ by construction (jax.random vs np.random), so these
+tests compare the TRANSFORM MATH with injected parameters: each host
+formula is evaluated with fixed angles/sigmas/factors and the device
+kernel must reproduce it (order-1/0 spatial and order-1 lowres upsample
+are the documented DAOrd0-family deltas and are tested against their
+own order-matched host counterparts)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.ndimage import gaussian_filter, map_coordinates
+
+from mlagg_unet_tpu.data import augment as host
+from mlagg_unet_tpu.data import device_augment as dev
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_rot3d_matches_host_rotation_matrix():
+    from tests.test_augment_parity import _bg_rot3d
+
+    got = np.asarray(dev._rot3d(jnp.float32(0.3), jnp.float32(-0.2),
+                                jnp.float32(0.15)))
+    np.testing.assert_allclose(got, _bg_rot3d(0.3, -0.2, 0.15), atol=1e-6)
+
+
+def test_spatial_coordinate_chain_order1():
+    """Force rot+scale via a huge p; compare against scipy order-1/0
+    resampling on the same analytically-built coordinate grid."""
+    rs = np.random.RandomState(0)
+    inflated = (1, 34, 38, 36)
+    patch = (16, 18, 14)
+    data = rs.randn(*inflated).astype(np.float32)
+    seg = rs.randint(0, 4, inflated[1:]).astype(np.float32)
+
+    key = jax.random.PRNGKey(3)
+    out_d, out_s = dev.spatial_augment_device(
+        jnp.asarray(data), jnp.asarray(seg), key, patch,
+        {"x": (0.3, 0.3), "y": (-0.2, -0.2), "z": (0.15, 0.15)},
+        scale_range=(1.1, 1.1), p_rot=1.1, p_scale=1.1)
+
+    from tests.test_augment_parity import _bg_rot3d
+
+    M = _bg_rot3d(0.3, -0.2, 0.15)
+    mesh = np.stack(np.meshgrid(
+        *[np.arange(s, dtype=float) - (s - 1) / 2 for s in patch],
+        indexing="ij"))
+    coords = np.einsum("ij,jzyx->izyx", M.T, mesh) * 1.1 \
+        + np.array([(s - 1) / 2
+                    for s in inflated[1:]]).reshape(3, 1, 1, 1)
+    exp_d = map_coordinates(data[0], coords, order=1, mode="constant",
+                            cval=0.0)
+    exp_s = map_coordinates(seg, coords, order=0, mode="constant",
+                            cval=-1.0)
+    np.testing.assert_allclose(np.asarray(out_d[0]), exp_d, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(out_s), exp_s)
+
+
+def test_no_op_gates_are_identity():
+    """p=0 for every gate: the full stack must return the exact center
+    crop (spatial no-op path) untouched."""
+    rs = np.random.RandomState(1)
+    data = rs.randn(1, 20, 22, 24).astype(np.float32)
+    seg = rs.randint(0, 3, (20, 22, 24)).astype(np.float32)
+    patch = (12, 14, 16)
+    out_d, out_s = dev.spatial_augment_device(
+        jnp.asarray(data), jnp.asarray(seg), KEY, patch,
+        {"x": (0, 0), "y": (0, 0), "z": (0, 0)}, p_rot=0.0, p_scale=0.0)
+    lbs = [(s - p) // 2 for s, p in zip(data.shape[1:], patch)]
+    sl = tuple(slice(l, l + p) for l, p in zip(lbs, patch))
+    np.testing.assert_allclose(np.asarray(out_d[0]), data[0][sl],
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out_s), seg[sl])
+
+
+def test_gaussian_blur_matches_scipy():
+    rs = np.random.RandomState(2)
+    x = rs.randn(24, 26).astype(np.float32)
+    w = np.asarray(dev._gauss_kernel(jnp.float32(0.8), 4))
+    got = np.asarray(dev._blur_axis(dev._blur_axis(
+        jnp.asarray(x), jnp.asarray(w), 0, 4), jnp.asarray(w), 1, 4))
+    exp = gaussian_filter(x, 0.8, mode="reflect", truncate=4.0)
+    np.testing.assert_allclose(got, exp, atol=2e-4)
+
+
+def test_lowres_axis_matches_host_resize_order1():
+    """nearest-down + linear-up (grid_mode, edge clamp) along each axis
+    equals the host _skimage_resize pair at up-order 1."""
+    rs = np.random.RandomState(3)
+    x = rs.randn(21, 17).astype(np.float32)
+    z = 0.62
+    target = np.maximum(np.round(np.array(x.shape) * z).astype(int), 1)
+    down = host._skimage_resize(x, target, order=0)
+    exp = host._skimage_resize(down, x.shape, order=1)
+    got = jnp.asarray(x)
+    for ax in range(2):
+        got = dev._lowres_axis(got, jnp.float32(z), ax, False)
+    np.testing.assert_allclose(np.asarray(got), exp, atol=2e-4)
+
+
+def test_gamma_formula_matches_host():
+    rs = np.random.RandomState(4)
+    x = rs.randn(1, 30, 32).astype(np.float32)
+
+    class Scripted:
+        """Drives the host gamma with gate pass, branch >=0.5, gamma g."""
+
+        def __init__(self, g):
+            self.seq = [0.0, 0.9, None]
+            self.g = g
+
+        def uniform(self, lo=0.0, hi=1.0):
+            v = self.seq.pop(0)
+            if v is None:
+                return self.g
+            return v
+
+    g = 1.3
+    exp = host.gamma_transform(x.copy(), Scripted(g), p=1.0,
+                               invert_image=False, retain_stats=True)
+
+    sl = jnp.asarray(x[0])
+    mn, sd = sl.mean(), sl.std()
+    minm = sl.min()
+    rnge = sl.max() - minm
+    y = jnp.power((sl - minm) / (rnge + 1e-7), g) * rnge + minm
+    y = (y - y.mean()) / (y.std() + 1e-8) * sd + mn
+    np.testing.assert_allclose(np.asarray(y), exp[0], atol=2e-4)
+
+
+def test_contrast_and_brightness_formulas():
+    rs = np.random.RandomState(5)
+    x = rs.randn(2, 10, 12).astype(np.float32)
+    # contrast with factor f, preserve_range
+    f = 0.8
+    mn = x.mean(axis=(1, 2), keepdims=True)
+    exp = np.clip((x - mn) * f + mn, x.min(axis=(1, 2), keepdims=True),
+                  x.max(axis=(1, 2), keepdims=True))
+    got = np.asarray(dev.contrast_augmentation_device(
+        jnp.asarray(x), KEY, p=1.1, contrast_range=(f, f)))
+    np.testing.assert_allclose(got, exp, atol=1e-5)
+    got_b = np.asarray(dev.brightness_multiplicative_device(
+        jnp.asarray(x), KEY, p=1.1, mult_range=(1.1, 1.1)))
+    np.testing.assert_allclose(got_b, x * 1.1, rtol=1e-5)
+
+
+def test_full_stack_shapes_and_finiteness():
+    """DeviceTrainingTransforms end to end (2D + 3D): NHWC output,
+    int32 seg with -1 removed, finite values, jit-compiled once."""
+    rs = np.random.RandomState(6)
+    for inflated, patch in (((2, 1, 36, 40), (24, 28)),
+                            ((2, 1, 20, 24, 22), (12, 16, 14))):
+        dim = len(patch)
+        rot = {"x": (-0.3, 0.3), "y": (-0.3, 0.3), "z": (-0.3, 0.3)}
+        tr = dev.DeviceTrainingTransforms(patch, rot,
+                                          tuple(range(dim)))
+        data = rs.randn(*inflated).astype(np.float32)
+        seg = rs.randint(0, 3, (inflated[0],) + inflated[2:]).astype(
+            np.float32)
+        d, s = tr(jnp.asarray(data), jnp.asarray(seg),
+                  jax.random.PRNGKey(1))
+        assert d.shape == (2, *patch, 1)
+        assert s.shape == (2, *patch) and s.dtype == jnp.int32
+        assert bool(jnp.all(jnp.isfinite(d)))
+        assert int(s.min()) >= 0
+
+
+def test_mirror_device_flips_consistently():
+    rs = np.random.RandomState(7)
+    data = jnp.asarray(rs.randn(1, 8, 10).astype(np.float32))
+    seg = jnp.asarray(rs.randint(0, 2, (8, 10)).astype(np.float32))
+    # try several keys; whenever data flipped on an axis, seg must too
+    for i in range(6):
+        d, s = dev.mirror_device(data, seg, jax.random.PRNGKey(i), (0, 1))
+        # reconstruct flip decisions from data, verify seg matches
+        for ax in (0, 1):
+            flipped_d = np.allclose(np.asarray(d),
+                                    np.asarray(jnp.flip(data, ax + 1)))
+            if flipped_d:
+                np.testing.assert_array_equal(
+                    np.asarray(s), np.asarray(jnp.flip(seg, ax)))
+
+
+def test_trainer_e2e_with_device_aug(tmp_path, monkeypatch):
+    """One-epoch 3D training with MLAGG_DEVICE_AUG=1: loaders emit the
+    inflated patch, the fused device stack crops/augments, the train
+    step runs, and a checkpoint lands."""
+    import os
+    from dataclasses import replace as dc_replace
+
+    monkeypatch.setenv("MLAGG_DEVICE_AUG", "1")
+    from mlagg_unet_tpu import paths
+
+    raw, pre, res = tmp_path / "raw", tmp_path / "pre", tmp_path / "res"
+    for d in (raw, pre, res):
+        d.mkdir()
+    monkeypatch.setattr(paths, "nnUNet_raw", str(raw))
+    monkeypatch.setattr(paths, "nnUNet_preprocessed", str(pre))
+    monkeypatch.setattr(paths, "nnUNet_results", str(res))
+
+    from mlagg_unet_tpu.plans.experiment_planner import ExperimentPlanner
+    from mlagg_unet_tpu.plans.fingerprint import DatasetFingerprintExtractor
+    from mlagg_unet_tpu.preprocessing.preprocessor import DefaultPreprocessor
+    from mlagg_unet_tpu.utils.helpers import join, load_json, save_json
+    from mlagg_unet_tpu.utils.synthetic_data import (
+        generate_synthetic_dataset,
+    )
+
+    generate_synthetic_dataset(str(raw), "Dataset994_DA", num_train=4,
+                               num_test=0, shape=(16, 24, 20), seed=3)
+    DatasetFingerprintExtractor("Dataset994_DA", num_processes=1).run()
+    ExperimentPlanner("Dataset994_DA").plan_experiment()
+    plans_file = join(str(pre), "Dataset994_DA", "nnUNetPlans.json")
+    plans = load_json(plans_file)
+    cfg = plans["configurations"]["3d_fullres"]
+    cfg["patch_size"] = [16, 16, 16]
+    cfg["batch_size"] = 2
+    cfg["pool_op_kernel_sizes"] = [[1, 1, 1], [2, 2, 2]]
+    cfg["conv_kernel_sizes"] = [[3, 3, 3], [3, 3, 3]]
+    cfg["n_conv_per_stage_encoder"] = [1, 1]
+    cfg["n_conv_per_stage_decoder"] = [1]
+    cfg["num_pool_per_axis"] = [1, 1, 1]
+    cfg["UNet_base_num_features"] = 8
+    save_json(plans, plans_file, sort_keys=False)
+    DefaultPreprocessor().run("Dataset994_DA", "3d_fullres",
+                              num_processes=1)
+
+    from mlagg_unet_tpu.data.device_augment import DeviceAugLoader
+    from mlagg_unet_tpu.training import registry as reg
+    from mlagg_unet_tpu.training.trainer import NNUNetTrainerTPU
+
+    reg.TRAINER_REGISTRY["_da_tiny"] = dc_replace(
+        reg.TRAINER_REGISTRY["nnUNetTrainer_1epochs"], name="_da_tiny",
+        num_epochs=1, num_iterations_per_epoch=2,
+        num_val_iterations_per_epoch=1)
+    dataset_json = load_json(join(str(pre), "Dataset994_DA",
+                                  "dataset.json"))
+    t = NNUNetTrainerTPU(plans, "3d_fullres", 0, dataset_json,
+                         trainer_name="_da_tiny")
+    t.run_training()
+    assert isinstance(t.dataloader_train, DeviceAugLoader)
+    assert os.path.isfile(join(t.output_folder, "checkpoint_final.ckpt"))
