@@ -30,6 +30,22 @@ def test_select_tile_batch_basic():
     assert mb.select_tile_batch(10, 100, 50, 1000, granule=2) == 2
 
 
+def test_select_tile_batch_balances_tail():
+    # memory fits 33 but 40 tiles run as 2 batches either way: the
+    # balanced 2x20 wastes 0 padded slots where 2x33 wastes 26
+    gib = 1024 ** 3
+    per = gib // 33
+    assert mb.select_tile_batch(gib, 0, per, n_tiles=40) == 20
+    # balancing never increases the batch count
+    for n_tiles in (1, 7, 33, 40, 41, 65, 100, 1000):
+        for per_div in (1, 3, 33, 64, 200):
+            tb = mb.select_tile_batch(gib, 0, gib // per_div, n_tiles)
+            cap = min(64, per_div)
+            assert -(-n_tiles // tb) == -(-n_tiles // min(cap, n_tiles))
+    # granule respected by the balanced value
+    assert mb.select_tile_batch(gib, 0, gib // 33, 40, granule=8) == 24
+
+
 def test_device_hbm_env_override(monkeypatch):
     monkeypatch.setenv("MLAGG_HBM_BYTES", str(123456789))
     assert mb.device_hbm_bytes() == 123456789
