@@ -158,7 +158,7 @@ class SS2DSkip(nn.Module):
                 xs, dts, A[k_slice], Bs, Cs, Ds[k_slice],
                 dt_projs_bias[k_slice], delta_softplus=True,
                 reverse=reverse,
-            )                                                # (B,2,Din,L) fp32
+            )                                 # (B,2,Din,L), cdt (fp32 accum)
 
         out_fwd = project_and_scan(xs_fwd, slice(0, 2), False)
         out_rev = project_and_scan(xs_rev, slice(2, 4), True)

@@ -26,17 +26,23 @@ def _window_offsets(window_size: int):
     return [(dy, dx) for dy in range(-r, r + 1) for dx in range(-r, r + 1)]
 
 
-def _shift2d(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
-    """Shift image content so out[.., y, x, ..] = x[.., y+dy, x+dx, ..]
-    (zero fill). x: (B, H, W, ...)."""
-    H, W = x.shape[1], x.shape[2]
-    pad = [(0, 0), (max(-dy, 0), max(dy, 0)), (max(-dx, 0), max(dx, 0))] + [
-        (0, 0)
-    ] * (x.ndim - 3)
-    xp = jnp.pad(x, pad)
-    return jax.lax.dynamic_slice_in_dim(
-        jax.lax.dynamic_slice_in_dim(xp, max(dy, 0), H, axis=1), max(dx, 0), W, axis=2
-    )
+def _pad_once(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Zero-pad H/W by the window radius ONCE (in the input dtype) so the
+    per-tap shifts below are static slices of the same tensor — XLA fuses
+    slices into their consumers, where 9 separate pad+dynamic_slice copies
+    each materialized a full-size shifted tensor (measured: the f32 shifted
+    copies dominated layer0/1 HBM traffic in the flagship forward)."""
+    pad = [(0, 0), (r, r), (r, r)] + [(0, 0)] * (x.ndim - 3)
+    return jnp.pad(x, pad)
+
+
+def _tap(xp: jnp.ndarray, H: int, W: int, r: int, dy: int, dx: int
+         ) -> jnp.ndarray:
+    """Slice of the padded tensor equal to the zero-filled shift
+    out[.., y, x, ..] = x[.., y+dy, x+dx, ..]."""
+    return jax.lax.slice_in_dim(
+        jax.lax.slice_in_dim(xp, r + dy, r + dy + H, axis=1),
+        r + dx, r + dx + W, axis=2)
 
 
 def _border_mask(H: int, W: int, dy: int, dx: int) -> jnp.ndarray:
@@ -52,11 +58,12 @@ def local_window_attention_logits(
     """q, k: (B, H, W, nh, dk) (q pre-scaled). Returns logits
     (B, H, W, nh, window_size^2) fp32 with -inf at border taps."""
     B, H, W, nh, dk = q.shape
+    r = window_size // 2
     qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
+    kp = _pad_once(k, r)  # input dtype; upcast fuses into the product
     logits = []
     for dy, dx in _window_offsets(window_size):
-        kshift = _shift2d(kf, dy, dx)
+        kshift = _tap(kp, H, W, r, dy, dx).astype(jnp.float32)
         s = jnp.sum(qf * kshift, axis=-1)  # (B, H, W, nh)
         m = _border_mask(H, W, dy, dx)[None, :, :, None]
         logits.append(jnp.where(m, NEG_INF, s))
@@ -68,10 +75,12 @@ def local_window_attention_apply(
 ) -> jnp.ndarray:
     """attn: (B, H, W, nh, ws^2) weights (already softmaxed / combined);
     v: (B, H, W, nh, dv). Returns (B, H, W, nh, dv)."""
+    H, W = v.shape[1], v.shape[2]
+    r = window_size // 2
     out = jnp.zeros(v.shape, jnp.float32)
-    vf = v.astype(jnp.float32)
+    vp = _pad_once(v, r)  # input dtype; upcast fuses into the multiply-add
     for j, (dy, dx) in enumerate(_window_offsets(window_size)):
-        vshift = _shift2d(vf, dy, dx)
+        vshift = _tap(vp, H, W, r, dy, dx).astype(jnp.float32)
         out = out + attn[..., j : j + 1] * vshift
     # fp32 island ends here: return in the caller's compute dtype so a
     # bf16 model doesn't silently promote everything downstream to fp32

@@ -132,7 +132,8 @@ def selective_scan(
     """Chunked associative-scan selective scan (production path).
 
     u, delta: (b, g, d, l); A: (g, d, n) (negative); B, C: (b, g, n, l);
-    D: (g, d) or None; delta_bias: (g, d) or None. Returns fp32 (b, g, d, l).
+    D: (g, d) or None; delta_bias: (g, d) or None. Returns (b, g, d, l) in
+    u's dtype (fp32 arithmetic internally).
     reverse=True scans right-to-left in natural storage order (defined as
     flip -> scan -> flip; the Pallas kernel folds the flips into its index
     maps, this XLA fallback performs them explicitly).
@@ -142,6 +143,7 @@ def selective_scan(
                            C[..., ::-1], D, delta_bias, delta_softplus,
                            chunk_size)
         return y[..., ::-1]
+    out_dtype = u.dtype
     u, delta, A, B, C, D = _prep(u, delta, A, B, C, D, delta_bias, delta_softplus)
     b, g, d, l = u.shape
     n = A.shape[-1]
@@ -178,7 +180,9 @@ def selective_scan(
     y = jnp.moveaxis(y_chunks, 0, -2).reshape(b, g, d, l + pad)[..., :l]
     if D is not None:
         y = y + D.astype(jnp.float32)[None, :, :, None] * u
-    return y
+    # emit in the input dtype: all arithmetic above is fp32; a bf16 model
+    # gets a bf16 y (AMP-equivalent), halving the scan's output HBM traffic
+    return y.astype(out_dtype)
 
 
 def selective_scan_flat(

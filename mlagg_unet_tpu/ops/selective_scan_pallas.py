@@ -495,7 +495,10 @@ def _pallas_forward(u, delta, A, B, C, D, delta_bias, delta_softplus,
             pl.BlockSpec((gb, states_per_mega, db, n), smap),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((BG, dp, Lp), jnp.float32),
+            # y in the input dtype: fp32 accumulation happens in VMEM; a
+            # bf16 model gets a bf16 y (AMP-equivalent), halving the
+            # kernel's dominant HBM write + the downstream layout copy
+            jax.ShapeDtypeStruct((BG, dp, Lp), u.dtype),
             jax.ShapeDtypeStruct((BG, nchunks, dp, n), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((gb, n, max(db, 128)), jnp.float32)],
