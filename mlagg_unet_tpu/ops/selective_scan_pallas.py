@@ -49,23 +49,33 @@ from jax.experimental.pallas import tpu as pltpu
 def _doubling_scan(a, b, lane, lc, reverse: bool = False,
                    skip_last_a: bool = False):
     """Cumulative first-order scan along the last (lane) axis:
-    returns (a_cum, b_cum) with b_cum_k = sum_j (prod_{i>j..k} a_i) b_j and
-    a_cum_k = prod_{0..k} a_i. ``lane`` is a (1, 1, 1, lc) iota — the mask
-    compare is one replicated lane row, broadcast by the selects, instead of
-    a full-array op per pass. reverse=True computes the mirrored (suffix)
-    scan — the right-to-left recurrence used for time-reversed scan
-    directions — at identical op count (rolls wrap the other way, masks
-    mirror). skip_last_a=True elides the a-chain update of the FINAL pass
-    for callers that fold the carry state into b up front and never read
-    a_cum (the forward kernel) — a roll+select+mul saved per element."""
+    returns (a_msk, b_cum) with b_cum_k = sum_j (prod_{i>j..k} a_i) b_j.
+    ``lane`` is a (1, 1, 1, lc) iota used for the single boundary mask.
+
+    Select-free doubling: instead of masking every pass's wrap-around roll
+    with a jnp.where, the validity mask is folded into ``a`` ONCE up front
+    (the boundary lane's a is zeroed). By induction the masked a-chain
+    then zeroes itself exactly on the lanes whose roll would wrap at each
+    pass (â_{k+1} = â_k * roll(â_k) has zeros on lanes < 2^{k+1}), so both
+    the b-combine and the a-chain need NO per-pass select — wrapped
+    contributions are multiplied by an exact 0. That removes 13 of ~46
+    vector ops per element at sub=128 (measured on the doubling's
+    roll/select/mul/add budget). Identical results for all finite inputs.
+
+    NOTE the returned a is the MASKED chain, not a_cum — every caller
+    (forward + both backward scans) discards it (they fold the carry into
+    b's boundary lane instead; skip_last_a elides the final a-pass too).
+    reverse=True computes the mirrored (suffix) scan at identical op
+    count (rolls wrap the other way, the boundary lane mirrors)."""
+    boundary = lane == (lc - 1 if reverse else 0)
+    a = jnp.where(boundary, 0.0, a)
     shift = 1
     while shift < lc:
         b_sh = pltpu.roll(b, lc - shift if reverse else shift, axis=3)
-        valid = lane < lc - shift if reverse else lane >= shift
-        b = jnp.where(valid, b + a * b_sh, b)
+        b = b + a * b_sh
         if not (skip_last_a and shift * 2 >= lc):
             a_sh = pltpu.roll(a, lc - shift if reverse else shift, axis=3)
-            a = jnp.where(valid, a * a_sh, a)
+            a = a * a_sh
         shift *= 2
     return a, b
 
