@@ -105,6 +105,10 @@ def select_tile_batch(budget_bytes: int, fixed_bytes: int,
     at a memory cap of 33 would otherwise run as 2x33 = 66 tile slots —
     measured 0.47 vol/s vs 0.78 at the balanced 2x20 on the bench
     workload.) Returns at least `granule`."""
+    if n_tiles <= 0:
+        # degenerate call (no tiles): return the granule instead of
+        # ceil-dividing by a zero batch count below
+        return granule
     avail = budget_bytes - fixed_bytes
     tb = int(avail // max(1, per_tile_bytes))
     tb = min(tb, max_tb, max(granule, n_tiles))

@@ -132,8 +132,8 @@ def selective_scan(
     """Chunked associative-scan selective scan (production path).
 
     u, delta: (b, g, d, l); A: (g, d, n) (negative); B, C: (b, g, n, l);
-    D: (g, d) or None; delta_bias: (g, d) or None. Returns (b, g, d, l) in
-    u's dtype (fp32 arithmetic internally).
+    D: (g, d) or None; delta_bias: (g, d) or None. Returns (b, g, d, l)
+    fp32 (reference contract: the scan boundary stays fp32 even under AMP).
     reverse=True scans right-to-left in natural storage order (defined as
     flip -> scan -> flip; the Pallas kernel folds the flips into its index
     maps, this XLA fallback performs them explicitly).
@@ -143,7 +143,6 @@ def selective_scan(
                            C[..., ::-1], D, delta_bias, delta_softplus,
                            chunk_size)
         return y[..., ::-1]
-    out_dtype = u.dtype
     u, delta, A, B, C, D = _prep(u, delta, A, B, C, D, delta_bias, delta_softplus)
     b, g, d, l = u.shape
     n = A.shape[-1]
@@ -180,9 +179,12 @@ def selective_scan(
     y = jnp.moveaxis(y_chunks, 0, -2).reshape(b, g, d, l + pad)[..., :l]
     if D is not None:
         y = y + D.astype(jnp.float32)[None, :, :, None] * u
-    # emit in the input dtype: all arithmetic above is fp32; a bf16 model
-    # gets a bf16 y (AMP-equivalent), halving the scan's output HBM traffic
-    return y.astype(out_dtype)
+    # y stays fp32: the reference deliberately keeps this boundary fp32 even
+    # under AMP (MambaSkip.py:437,452,532-534 asserts out_y.dtype == float
+    # before the 4-direction merge). The bf16-emission experiment saved only
+    # ~0.4 ms/forward (y is ~150 MB of a ~57 GB forward) — not worth the
+    # contract divergence.
+    return y
 
 
 def selective_scan_flat(
@@ -199,7 +201,8 @@ def selective_scan_flat(
 ) -> jnp.ndarray:
     """Drop-in for the reference calling convention
     (MambaSkip.py:445-451): u/delta (b, k*d, l), A (k*d, n), B/C (b, k, n, l),
-    D (k*d,), delta_bias (k*d,). Returns (b, k*d, l) fp32."""
+    D (k*d,), delta_bias (k*d,). Returns (b, k*d, l) fp32 (the reference's
+    scan-output contract; see selective_scan)."""
     b, kd, l = u.shape
     k = n_groups
     d = kd // k

@@ -505,10 +505,11 @@ def _pallas_forward(u, delta, A, B, C, D, delta_bias, delta_softplus,
             pl.BlockSpec((gb, states_per_mega, db, n), smap),
         ),
         out_shape=(
-            # y in the input dtype: fp32 accumulation happens in VMEM; a
-            # bf16 model gets a bf16 y (AMP-equivalent), halving the
-            # kernel's dominant HBM write + the downstream layout copy
-            jax.ShapeDtypeStruct((BG, dp, Lp), u.dtype),
+            # y stays fp32: the reference keeps the scan output fp32 even
+            # under AMP (MambaSkip.py:437,452,532-534) and sums the four
+            # direction outputs in fp32 before out_norm; emitting bf16 here
+            # saved only ~0.4 ms/forward (y ~150 MB of a ~57 GB forward)
+            jax.ShapeDtypeStruct((BG, dp, Lp), jnp.float32),
             jax.ShapeDtypeStruct((BG, nchunks, dp, n), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((gb, n, max(db, 128)), jnp.float32)],
