@@ -8,12 +8,15 @@ over the batch, so augmentation rides the chip and the host loader only
 crops raw patches (reference get_training_transforms semantics,
 nnUNetTrainer.py:643-733).
 
-Semantic deltas vs the host path (both blessed by reference variants):
+Semantic deltas vs the host path (opt-in via MLAGG_DEVICE_AUG=ord1; the
+trainer refuses any other truthy value so this profile is never picked
+up by accident — see trainer.py get_dataloaders):
   * spatial resampling is order-1 for data and order-0 (nearest) for seg
-    — `jax.scipy.ndimage.map_coordinates` supports order<=1. These are
-    exactly the semantics of the reference's nnUNetTrainerDAOrd0 /
-    nnUNetTrainerDASegOrd0 trainer variants; nearest seg sampling can
-    never invent phantom labels, so no one-hot pass is needed.
+    — `jax.scipy.ndimage.map_coordinates` supports order<=1. This sits
+    BETWEEN the reference's default (order-3 data / order-1 one-hot seg,
+    nnUNetTrainer.py:649-650) and its DAOrd0 variant (0/0); nearest seg
+    sampling can never invent phantom labels, so no one-hot pass is
+    needed.
   * low-res simulation upsamples at order 1 instead of order 3 (the
     nearest-neighbour downsample — the transform's point — is exact,
     pixel-area aligned like skimage/grid_mode).
@@ -34,6 +37,29 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 from jax.scipy.ndimage import map_coordinates
+
+
+def parse_device_aug_flag(value: str) -> str:
+    """MLAGG_DEVICE_AUG gate. Returns '' (off), 'ord3' (device aug with
+    the reference-default interpolation semantics: order-3 cubic data /
+    order-1 one-hot seg / order-3 lowres upsample, scipy-exact), or
+    'ord1' (the faster order-1/0 profile — a named, explicit semantics
+    opt-in). Any other truthy value — including the r3 flag value '1',
+    which said nothing about semantics — raises."""
+    if not value or value == "0":
+        return ""
+    if value in ("ord1", "ord3", "1"):
+        if value == "1":
+            return "ord3"  # plain opt-in gets reference-default semantics
+        return value
+    raise ValueError(
+        "MLAGG_DEVICE_AUG={!r}: set 'ord3' (or '1') for on-device "
+        "augmentation with the reference-default interpolation semantics "
+        "(order-3 data / order-1 one-hot seg, scipy-exact), 'ord1' to "
+        "explicitly opt into the faster order-1 data / order-0 seg "
+        "profile (differs from the reference default, "
+        "nnUNetTrainer.py:649-650), or unset it for the host pipeline."
+        .format(value))
 
 
 def _uniform(key, lo, hi, shape=()):
@@ -67,11 +93,17 @@ def _rot3d(ax, ay, az):
 def spatial_augment_device(data, seg, key, patch_size: Sequence[int],
                            rotation_for_da: dict,
                            scale_range=(0.7, 1.4),
-                           p_rot=0.2, p_scale=0.2):
+                           p_rot=0.2, p_scale=0.2,
+                           order_data: int = 1, order_seg: int = 0,
+                           num_classes: int = 0):
     """data (C, *inflated) f32, seg (*inflated,) -> center patch with the
     host spatial_augment coordinate chain (augment.py:87-155): rotation
-    applied transposed, zoom-out-biased scale, center crop. Data order 1,
-    seg order 0 ('constant' border: 0 / -1)."""
+    applied transposed, zoom-out-biased scale, center crop.
+
+    order_data=1/order_seg=0 is the fast 'ord1' profile; order_data=3 /
+    order_seg=1 reproduces the reference DEFAULT (order-3 cubic spline
+    data, one-hot order-1 thresholded seg — scipy-exact via
+    ops/cubic_spline.py; num_classes required for the one-hot)."""
     dim = len(patch_size)
     kg1, kg2, ka1, ka2, ka3, kb, ks = jax.random.split(key, 7)
     do_rot = _uniform(kg1, 0, 1) < p_rot
@@ -105,11 +137,28 @@ def spatial_augment_device(data, seg, key, patch_size: Sequence[int],
     coords = coords + ctr[:, None]
     coords = coords.reshape(dim, *patch_size)
 
-    out_data = jax.vmap(
-        lambda ch: map_coordinates(ch, list(coords), order=1,
-                                   mode="constant", cval=0.0))(data)
-    out_seg = map_coordinates(seg.astype(jnp.float32), list(coords),
-                              order=0, mode="constant", cval=-1.0)
+    if order_data == 3:
+        from mlagg_unet_tpu.ops.cubic_spline import map_coordinates_cubic
+
+        clist = [coords[d] for d in range(dim)]
+        out_data = jax.vmap(
+            lambda ch: map_coordinates_cubic(ch, clist, cval=0.0))(data)
+    else:
+        out_data = jax.vmap(
+            lambda ch: map_coordinates(ch, list(coords), order=1,
+                                       mode="constant", cval=0.0))(data)
+    if order_seg == 1:
+        from mlagg_unet_tpu.ops.cubic_spline import (
+            map_coordinates_seg_linear_onehot,
+        )
+
+        assert num_classes > 0, "order_seg=1 one-hot needs num_classes"
+        out_seg = map_coordinates_seg_linear_onehot(
+            seg.astype(jnp.float32), [coords[d] for d in range(dim)],
+            num_classes=num_classes, cval=-1.0)
+    else:
+        out_seg = map_coordinates(seg.astype(jnp.float32), list(coords),
+                                  order=0, mode="constant", cval=-1.0)
     return out_data, out_seg
 
 
@@ -202,8 +251,10 @@ def _lowres_axis(x, zoom, axis, ignore):
     i1c = jnp.clip(i0 + 1, 0, t - 1)
 
     def src(i):
-        # down-map: down i -> input index (nearest, grid_mode)
-        s = jnp.round((i + 0.5) * n / t - 0.5)
+        # down-map: down i -> input index (nearest, grid_mode). scipy's
+        # order-0 rounding is floor(c + 0.5) (halves up), not jnp.round's
+        # half-to-even — they differ on every sample at zoom 0.5
+        s = jnp.floor((i + 0.5) * n / t)
         return jnp.clip(s, 0, n - 1).astype(jnp.int32)
 
     g0 = jnp.take(x, src(i0c), axis=axis)
@@ -216,7 +267,11 @@ def _lowres_axis(x, zoom, axis, ignore):
 
 
 def simulate_low_resolution_device(data, key, p=0.25, zoom_range=(0.5, 1.0),
-                                   p_per_channel=0.5, ignore_axes=()):
+                                   p_per_channel=0.5, ignore_axes=(),
+                                   up_order: int = 1):
+    """up_order=3 uses the scipy-exact cubic upsample (the reference
+    default, SimulateLowResolutionTransform order_upsample=3); up_order=1
+    is the fast 'ord1' profile."""
     C = data.shape[0]
     kg, krest = jax.random.split(key)
     apply_all = _uniform(kg, 0, 1) < p
@@ -226,7 +281,19 @@ def simulate_low_resolution_device(data, key, p=0.25, zoom_range=(0.5, 1.0),
         z = _uniform(kz, *zoom_range)
         y = ch
         for ax in range(ch.ndim):
-            y = _lowres_axis(y, z, ax, ax in tuple(ignore_axes))
+            if ax in tuple(ignore_axes):
+                continue
+            if up_order == 3:
+                from mlagg_unet_tpu.ops.cubic_spline import (
+                    lowres_axis_cubic_up,
+                )
+
+                n = ch.shape[ax]
+                # host: np.round(shape * zoom) (half-to-even), min 1
+                t = jnp.clip(jnp.round(n * z), 1, n)
+                y = lowres_axis_cubic_up(y, t, ax)
+            else:
+                y = _lowres_axis(y, z, ax, False)
         take = jnp.logical_and(apply_all, _uniform(kc, 0, 1) < p_per_channel)
         return jnp.where(take, y, ch)
 
@@ -276,26 +343,42 @@ class DeviceTrainingTransforms:
     """jit-compiled batch augmentation: (B, C, *inflated) f32 data +
     (B, *inflated) seg -> (B, *patch, C) data (NHWC device layout) +
     (B, *patch) int32 seg. Same stack and parameters as the host
-    TrainingTransforms (augment.py:420-500) minus cascade handling."""
+    TrainingTransforms (augment.py:420-500) minus cascade handling.
+
+    interp='ord3' (default) runs the REFERENCE-DEFAULT interpolation
+    semantics on device: order-3 cubic-spline data / order-1 one-hot seg
+    spatial resampling and order-3 low-res upsampling, all scipy-exact
+    (ops/cubic_spline.py; requires num_classes). interp='ord1' is the
+    faster order-1/0 profile (a documented semantics delta)."""
 
     def __init__(self, patch_size, rotation_for_da, mirror_axes,
-                 scale_range=(0.7, 1.4)):
+                 scale_range=(0.7, 1.4), interp: str = "ord3",
+                 num_classes: int = 0):
+        assert interp in ("ord1", "ord3"), interp
+        assert interp != "ord3" or num_classes > 0, \
+            "interp='ord3' needs num_classes for the one-hot seg pass"
         self.patch_size = tuple(int(p) for p in patch_size)
         self.rotation_for_da = rotation_for_da
         self.mirror_axes = tuple(mirror_axes or ())
         self.scale_range = scale_range
+        self.interp = interp
+        self.num_classes = int(num_classes)
         self._fn = jax.jit(self._batch)
 
     def _sample(self, data, seg, key):
+        ord3 = self.interp == "ord3"
         ks = jax.random.split(key, 9)
         data, seg = spatial_augment_device(
             data, seg, ks[0], self.patch_size, self.rotation_for_da,
-            self.scale_range)
+            self.scale_range,
+            order_data=3 if ord3 else 1, order_seg=1 if ord3 else 0,
+            num_classes=self.num_classes)
         data = gaussian_noise_device(data, ks[1])
         data = gaussian_blur_device(data, ks[2])
         data = brightness_multiplicative_device(data, ks[3])
         data = contrast_augmentation_device(data, ks[4])
-        data = simulate_low_resolution_device(data, ks[5])
+        data = simulate_low_resolution_device(
+            data, ks[5], up_order=3 if ord3 else 1)
         data = gamma_transform_device(data, ks[6], p=0.1, invert_image=True)
         data = gamma_transform_device(data, ks[7], p=0.3,
                                       invert_image=False)

@@ -21,6 +21,7 @@ from mlagg_unet_tpu.models.layers import (
     ChannelGroupNorm,
     ConvTransposeTorch,
     DepthwiseConv,
+    PointwiseConv,
     gelu,
     pad_top_left,
 )
@@ -55,10 +56,12 @@ class MedNeXtBlock(nn.Module):
         x1 = DepthwiseConv(kernel_size=self.kernel_size, spatial_dims=d,
                            name="conv1")(x)
         x1 = ChannelGroupNorm(name="norm")(x1)
-        x1 = gelu(nn.Conv(self.exp_r * cin, (1,) * d, name="conv2")(x1))
+        x1 = gelu(PointwiseConv(self.exp_r * cin, spatial_dims=d,
+                                name="conv2")(x1))
         if self.grn:
             x1 = _apply_grn(self, x1, d)
-        x1 = nn.Conv(self.out_channels, (1,) * d, name="conv3")(x1)
+        x1 = PointwiseConv(self.out_channels, spatial_dims=d,
+                           name="conv3")(x1)
         if self.do_res:
             x1 = x + x1
         return x1
@@ -86,13 +89,18 @@ class MedNeXtDownBlock(nn.Module):
         x1 = nn.Conv(cin, k, strides=s, padding=self.kernel_size // 2,
                      feature_group_count=cin, name="conv1")(x)
         x1 = ChannelGroupNorm(name="norm")(x1)
-        x1 = gelu(nn.Conv(self.exp_r * cin, (1,) * d, name="conv2")(x1))
+        x1 = gelu(PointwiseConv(self.exp_r * cin, spatial_dims=d,
+                                name="conv2")(x1))
         if self.grn:
             x1 = _apply_grn(self, x1, d)
-        x1 = nn.Conv(self.out_channels, (1,) * d, name="conv3")(x1)
+        x1 = PointwiseConv(self.out_channels, spatial_dims=d,
+                           name="conv3")(x1)
         if self.do_res:
-            res = nn.Conv(self.out_channels, (1,) * d, strides=s,
-                          name="res_conv")(x)
+            # strided 1x1 conv == slice-then-matmul (k=1 reads no halo)
+            sl = tuple([slice(None)] + [slice(None, None, si) for si in s]
+                       + [slice(None)])
+            res = PointwiseConv(self.out_channels, spatial_dims=d,
+                                name="res_conv")(x[sl])
             x1 = x1 + res
         return x1
 
@@ -130,10 +138,12 @@ class MedNeXtUpBlock(nn.Module):
             feature_group_count=cin, spatial_dims=d, name="conv1",
         )(x)
         x1 = ChannelGroupNorm(name="norm")(x1)
-        x1 = gelu(nn.Conv(self.exp_r * cin, (1,) * d, name="conv2")(x1))
+        x1 = gelu(PointwiseConv(self.exp_r * cin, spatial_dims=d,
+                                name="conv2")(x1))
         if self.grn:
             x1 = _apply_grn(self, x1, d)
-        x1 = nn.Conv(self.out_channels, (1,) * d, name="conv3")(x1)
+        x1 = PointwiseConv(self.out_channels, spatial_dims=d,
+                           name="conv3")(x1)
         x1 = pad_top_left(x1, pad_amts)
         if self.do_res:
             res = ConvTransposeTorch(self.out_channels, 1, s, 0,
@@ -177,4 +187,5 @@ class OutBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         d = x.ndim - 2
-        return nn.Conv(self.n_classes, (1,) * d, name="conv_out")(x)
+        return PointwiseConv(self.n_classes, spatial_dims=d,
+                             name="conv_out")(x)

@@ -31,6 +31,7 @@ from mlagg_unet_tpu.models.layers import (
     DropPath,
     DWConv2d,
     Mlp,
+    PointwiseConv,
     RMSNorm,
     avg_pool_to,
     gelu,
@@ -104,7 +105,7 @@ class AggregatedAttention(nn.Module):
             out = out.reshape(B, H, W, C).astype(x.dtype)
         else:
             pool_h, pool_w = H // self.sr_ratio, W // self.sr_ratio
-            x_ = gelu(nn.Conv(C, (1, 1), name="sr")(x))
+            x_ = gelu(PointwiseConv(C, name="sr")(x))
             x_ = avg_pool_to(x_, (pool_h, pool_w))
             x_ = nn.LayerNorm(name="norm")(
                 x_.reshape(B, pool_h * pool_w, C)

@@ -43,15 +43,20 @@ def attention_reference(
     callers do outside."""
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
+    # q/k/v stay in their storage dtype: the MXU multiplies bf16 operands
+    # exactly into the f32 accumulator, so pre-upcasting changes nothing
+    # numerically but makes XLA materialize full f32 copies of q/k (their
+    # producer fusions absorb the convert — census_detail r4). The scores
+    # s are f32 either way; p is cast to v's dtype for the second matmul,
+    # mirroring the reference flash path's fp16 probabilities.
     s = jnp.einsum(
-        "bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32,
     ) * scale
     if mask is not None:
         s = jnp.where(mask, NEG_INF, s)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum(
-        "bhqk,bhkd->bhqd", p, v.astype(jnp.float32),
+        "bhqk,bhkd->bhqd", p.astype(v.dtype), v,
         preferred_element_type=jnp.float32,
     ).astype(q.dtype)
 

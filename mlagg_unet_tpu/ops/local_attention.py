@@ -59,12 +59,15 @@ def local_window_attention_logits(
     (B, H, W, nh, window_size^2) fp32 with -inf at border taps."""
     B, H, W, nh, dk = q.shape
     r = window_size // 2
-    qf = q.astype(jnp.float32)
     kp = _pad_once(k, r)  # input dtype; upcast fuses into the product
     logits = []
     for dy, dx in _window_offsets(window_size):
+        # upcast PER TAP inside the fusion: hoisting q.astype(f32) out of
+        # the loop makes XLA materialize a full f32 copy of q (the convert
+        # fuses into q's producer, doubling that matmul's output bytes —
+        # census_detail r4); per-tap converts are register-only
         kshift = _tap(kp, H, W, r, dy, dx).astype(jnp.float32)
-        s = jnp.sum(qf * kshift, axis=-1)  # (B, H, W, nh)
+        s = jnp.sum(q.astype(jnp.float32) * kshift, axis=-1)  # (B,H,W,nh)
         m = _border_mask(H, W, dy, dx)[None, :, :, None]
         logits.append(jnp.where(m, NEG_INF, s))
     return jnp.stack(logits, axis=-1)

@@ -550,9 +550,17 @@ class NNUNetTrainerTPU:
         # fused on-device augmentation (opt-in performance path): workers
         # only crop the inflated patch; the transform stack runs jitted on
         # the accelerator (data/device_augment.py). Host path remains the
-        # default and handles dummy-2D / cascade / DA5.
+        # default and handles dummy-2D / cascade / DA5. 'ord3' (or '1')
+        # runs the reference-default interpolation semantics (order-3
+        # cubic data / order-1 one-hot seg / order-3 lowres upsample,
+        # scipy-exact); 'ord1' is a named opt-in for the faster order-1/0
+        # profile, which deviates from nnUNetTrainer.py:649-650.
+        from mlagg_unet_tpu.data.device_augment import parse_device_aug_flag
+
+        dev_aug_mode = parse_device_aug_flag(
+            os.environ.get("MLAGG_DEVICE_AUG", ""))
         use_device_aug = (
-            os.environ.get("MLAGG_DEVICE_AUG") == "1"
+            bool(dev_aug_mode)
             and not self.cfg.disable_da and not do_dummy_2d
             and not is_cascaded and self.cfg.da_level != "DA5"
         )
@@ -563,8 +571,9 @@ class NNUNetTrainerTPU:
                 DeviceTrainingTransforms,
             )
 
-            device_aug = DeviceTrainingTransforms(patch_size, rotation,
-                                                  mirror_axes)
+            device_aug = DeviceTrainingTransforms(
+                patch_size, rotation, mirror_axes, interp=dev_aug_mode,
+                num_classes=max(self.label_manager.all_labels) + 1)
             tr_transforms = None  # loader emits the inflated patch
 
         annotated_key = tuple(self.label_manager.all_labels)
