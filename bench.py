@@ -75,6 +75,12 @@ def main():
     predictor = VolumePredictor(
         model.apply, params, tile_size, num_classes, mirror_axes, tile_batch,
         compute_dtype=jnp.bfloat16,
+        # 16-bit device->host logits copy: the reference itself ships HALF
+        # logits to the CPU (sliding_window_prediction.py keeps
+        # predicted_logits torch.half through .cpu()); our accumulation
+        # stays fp32 on device. Halves the per-volume fetch bytes, which
+        # on this tunneled runner otherwise bound the pipeline tail.
+        transfer_dtype=jnp.bfloat16,
     )
 
     rng = np.random.RandomState(0)

@@ -15,6 +15,7 @@ import os
 from typing import List, Optional, Sequence, Tuple, Union
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from mlagg_unet_tpu import paths
@@ -195,11 +196,18 @@ class NNUNetPredictor:
             num_classes = self.label_manager.num_segmentation_heads
             mirror_axes = self.allowed_mirroring_axes \
                 if self.use_mirroring else ()
+            # 16-bit logits fetch when computing in bf16: the reference
+            # ships HALF logits to the CPU (sliding_window_prediction.py
+            # keeps predicted_logits torch.half through .cpu()); our
+            # device-side gaussian accumulation stays fp32
+            tdt = (jnp.bfloat16 if self.compute_dtype == jnp.bfloat16
+                   else None)
             self._volume_predictors = [
                 VolumePredictor(
                     self.network.apply, params, tile_size, num_classes,
                     mirror_axes, self.tile_batch_size, self.use_gaussian,
                     compute_dtype=self.compute_dtype,
+                    transfer_dtype=tdt,
                 )
                 for params in self.list_of_parameters
             ]

@@ -325,7 +325,8 @@ class VolumePredictor:
 
     def __init__(self, apply_fn, params, tile_size, num_classes,
                  mirror_axes=(), tile_batch_size=None, use_gaussian=True,
-                 compute_dtype=None, mesh=None, budget_fraction=None):
+                 compute_dtype=None, mesh=None, budget_fraction=None,
+                 transfer_dtype=None):
         """mesh: optional jax.sharding.Mesh with a 'data' axis — tile batches
         are then sharded across devices (each device scatter-adds its tiles
         into a local accumulator; one psum merges them). The embarrassingly
@@ -338,7 +339,16 @@ class VolumePredictor:
         a host-resident accumulator with tiles still running on device —
         the TPU analogue of the reference's CPU-accumulator retry
         (sliding_window_prediction.py:169-184,
-        predict_from_raw_data.py:290-296)."""
+        predict_from_raw_data.py:290-296).
+
+        transfer_dtype: dtype of the device->host logits copy. None keeps
+        fp32 (bit-exact with the accumulator). jnp.bfloat16 halves the
+        fetch bytes — the reference itself moves HALF-precision logits to
+        the CPU (predicted_logits stays torch.half through .cpu(),
+        sliding_window_prediction.py:110-197), so a 16-bit transfer is
+        reference-level output precision while our on-device accumulation
+        stays fp32 (better than the reference's half accumulator).
+        finalize() returns fp32 either way."""
         from . import memory_budget as _mb
         self.apply_fn = apply_fn
         self.params = params
@@ -348,6 +358,7 @@ class VolumePredictor:
         self.tb = tile_batch_size
         self.use_gaussian = use_gaussian
         self.compute_dtype = compute_dtype
+        self.transfer_dtype = transfer_dtype
         self.mesh = mesh
         self.n_shards = (mesh.shape["data"]
                          if mesh is not None and "data" in mesh.shape else 1)
@@ -498,7 +509,10 @@ class VolumePredictor:
             acc, n = jax.lax.fori_loop(0, n_batches, body, (acc, n))
             if not normalize:
                 return acc, n
-            return acc / n[..., None]
+            out = acc / n[..., None]
+            if self.transfer_dtype is not None:
+                out = out.astype(self.transfer_dtype)
+            return out
 
         return run
 
@@ -520,9 +534,9 @@ class VolumePredictor:
         return self.finalize(self._run(data))
 
     def finalize(self, result) -> np.ndarray:
-        """Fetch + unpad a predict_device result."""
+        """Fetch + unpad a predict_device result (fp32 out)."""
         logits, bounds, z_mode = result
-        logits_np = np.moveaxis(np.asarray(logits), -1, 0)
+        logits_np = np.moveaxis(np.asarray(logits).astype(np.float32), -1, 0)
         lead = [slice(None)] * (2 if z_mode else 1)  # (K[, Z]) untouched
         slicer = tuple(lead + [slice(lo, hi) for lo, hi in bounds])
         return logits_np[slicer]

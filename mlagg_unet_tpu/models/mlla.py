@@ -30,7 +30,6 @@ from flax import linen as nn
 from mlagg_unet_tpu.models.layers import (
     DropPath,
     DWConv2d,
-    Mlp,
     PointwiseConv,
     RMSNorm,
     avg_pool_to,
@@ -47,6 +46,111 @@ from mlagg_unet_tpu.ops.local_attention import (
 
 def _lambda_init(std: float = 0.1):
     return nn.initializers.normal(stddev=std)
+
+
+class _DenseParams(nn.Module):
+    """Param-only twin of nn.Dense: identical tree ({kernel, bias}),
+    identical shapes and init draws — exists so MLLABlock can route the
+    SAME weights through either the functional reference tail or the
+    fused Pallas tail kernel (ops/mlla_fused.py)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+class _LayerNormParams(nn.Module):
+    """Param-only twin of nn.LayerNorm ({scale, bias})."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        s = self.param("scale", nn.initializers.ones, (features,))
+        b = self.param("bias", nn.initializers.zeros, (features,))
+        return s, b
+
+
+class _MlpParams(nn.Module):
+    """Param-only twin of layers.Mlp ({Dense_0, Dense_1})."""
+
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k1, b1 = _DenseParams(self.hidden, name="Dense_0")(in_features)
+        k2, b2 = _DenseParams(self.out, name="Dense_1")(self.hidden)
+        return k1, b1, k2, b2
+
+
+class _RMSNormParams(nn.Module):
+    """Param-only twin of layers.RMSNorm ({scale})."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        return self.param("scale", nn.initializers.ones, (features,))
+
+
+class _DWConvParams(nn.Module):
+    """Param-only twin of layers.DWConv2d (child Conv_0{kernel, bias})."""
+
+    @nn.compact
+    def __call__(self, channels: int, kernel_size: int = 3):
+        class _Inner(nn.Module):
+            @nn.compact
+            def __call__(self_inner):
+                k = self_inner.param(
+                    "kernel", nn.initializers.lecun_normal(),
+                    (kernel_size, kernel_size, 1, channels))
+                b = self_inner.param("bias", nn.initializers.zeros,
+                                     (channels,))
+                return k, b
+
+        return _Inner(name="Conv_0")()
+
+
+def _dense(x, kernel, bias):
+    """Functional twin of nn.Dense (dtype promotion semantics)."""
+    dt = jnp.promote_types(x.dtype, kernel.dtype)
+    y = jnp.dot(x.astype(dt), kernel.astype(dt))
+    return y + bias.astype(dt)
+
+
+def _rms_norm(x, scale, eps=1e-5):
+    """Functional twin of layers.RMSNorm (fp32 stats, x.dtype out)."""
+    xf = x.astype(jnp.float32)
+    normed = xf * jax.lax.rsqrt(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (normed * scale).astype(x.dtype)
+
+
+def _depthwise3x3(x, kernel, bias):
+    """Functional twin of layers.DWConv2d (shifted-FMA SAME conv).
+    x: (B, H, W, C); kernel: (3, 3, 1, C)."""
+    kern = kernel.astype(x.dtype)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    H, W = x.shape[1], x.shape[2]
+    out = None
+    for i in range(3):
+        for j in range(3):
+            term = xp[:, i:i + H, j:j + W, :] * kern[i, j, 0]
+            out = term if out is None else out + term
+    return out + bias.astype(out.dtype)
+
+
+def _layer_norm(x, scale, bias, eps):
+    """Functional twin of nn.LayerNorm (use_fast_variance, f32 stats,
+    output in the promoted input dtype)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(jnp.promote_types(x.dtype, scale.dtype))
 
 
 class AggregatedAttention(nn.Module):
@@ -83,14 +187,37 @@ class AggregatedAttention(nn.Module):
             + self.lambda_init_value
         ).astype(jnp.float32)
 
-        q = nn.Dense(C, use_bias=self.qkv_bias, name="q")(x)  # (B,H,W,C)
-        q = q * scale
-        kv_dense = nn.Dense(2 * C, use_bias=self.qkv_bias, name="kv")
-        kv = kv_dense(x)
-        k, v = jnp.split(kv, 2, axis=-1)
-        v_pe = v  # LePE positional term acts on pre-window v (:691,781-782)
+        # q/kv/subln/lepe params via twins (identical trees to the
+        # nn.Dense/RMSNorm/DWConv2d modules they replace) so the same
+        # weights serve the functional path and the fused Pallas kernel
+        wq, bq = _DenseParams(C, name="q")(C)
+        wkv, bkv = _DenseParams(2 * C, name="kv")(C)
+        sub_scale = _RMSNormParams(name="subln")(2 * head_dim)
+        lepe_k, lepe_b = _DWConvParams(name="lepe")(C, 3)
 
         if self.local:
+            import os
+
+            # the fused local-attention kernel is OFF by default: measured
+            # 3.28 ms/block-pair at layer0 vs ~2.5 ms for the XLA path
+            # (48-lane arrays waste 62% of the VPU; degenerate (T,1)
+            # head matmuls) — kept for future layout tuning
+            if (deterministic
+                    and os.environ.get("MLAGG_FUSED_LOCAL_ATTN") == "1"
+                    and jax.default_backend() == "tpu"
+                    and self.window_size == 3
+                    and not self.is_initializing()):
+                from mlagg_unet_tpu.ops.mlla_attn_fused import (
+                    local_aggregated_attention_fused,
+                )
+
+                return local_aggregated_attention_fused(
+                    x, wq, bq, wkv, bkv, sub_scale, lepe_k, lepe_b,
+                    lambda_full, nh, self.lambda_init_value)
+
+            q = _dense(x, wq, bq) * scale                   # (B,H,W,C)
+            kv = _dense(x, wkv, bkv)
+            k, v = jnp.split(kv, 2, axis=-1)
             # channel layout (2nh, hd) for q/k; (nh, 2hd) for v (:687-703)
             q_img = q.reshape(B, H, W, 2 * nh, head_dim)
             k_img = k.reshape(B, H, W, 2 * nh, head_dim)
@@ -100,10 +227,15 @@ class AggregatedAttention(nn.Module):
             attn = attn[..., 0, :] - lambda_full * attn[..., 1, :]
             v_img = v.reshape(B, H, W, nh, 2 * head_dim)
             out = local_window_attention_apply(attn, v_img, self.window_size)
-            out = RMSNorm(name="subln")(out)                # (B,H,W,nh,2hd)
+            out = _rms_norm(out, sub_scale)                 # (B,H,W,nh,2hd)
             out = out * (1 - self.lambda_init_value)
             out = out.reshape(B, H, W, C).astype(x.dtype)
+            return out + _depthwise3x3(v, lepe_k, lepe_b)
         else:
+            q = _dense(x, wq, bq) * scale                   # (B,H,W,C)
+            kv = _dense(x, wkv, bkv)
+            k, v = jnp.split(kv, 2, axis=-1)
+            v_pe = v  # LePE acts on pre-window v (:691,781-782)
             pool_h, pool_w = H // self.sr_ratio, W // self.sr_ratio
             x_ = gelu(PointwiseConv(C, name="sr")(x))
             x_ = avg_pool_to(x_, (pool_h, pool_w))
@@ -113,7 +245,7 @@ class AggregatedAttention(nn.Module):
             # the reference REUSES the same kv projection on the pooled
             # tokens (:731 "k_pool, v_pool = self.kv(x_)") — not a separate
             # set of weights
-            kv_pool = kv_dense(x_)
+            kv_pool = _dense(x_, wkv, bkv)
             k_pool, v_pool = jnp.split(kv_pool, 2, axis=-1)
             P = pool_h * pool_w
 
@@ -136,12 +268,11 @@ class AggregatedAttention(nn.Module):
             # whole downstream graph to fp32)
             out = attn1 - lambda_full.astype(attn1.dtype) * attn2
             out = jnp.transpose(out, (0, 2, 1, 3))          # (B,N,nh,2hd)
-            out = RMSNorm(name="subln")(out)
+            out = _rms_norm(out, sub_scale)
             out = out * (1 - self.lambda_init_value)
             out = out.reshape(B, H, W, C).astype(x.dtype)
 
-        out = out + DWConv2d(name="lepe")(v_pe)
-        return out
+        return out + _depthwise3x3(v_pe, lepe_k, lepe_b)
 
 
 class Attention(nn.Module):
@@ -188,9 +319,26 @@ class MLLABlock(nn.Module):
         B, H, W, C = x.shape
         shortcut = x
 
-        h = nn.LayerNorm(name="norm1")(x)
-        act_res = jax.nn.silu(nn.Dense(C, name="act_proj")(h))
-        h = nn.Dense(C, name="in_proj")(h)
+        from mlagg_unet_tpu.ops.mlla_fused import (
+            fused_tail_enabled,
+            mlla_block_front_fused,
+            mlla_block_tail_fused,
+        )
+
+        n1_s, n1_b = _LayerNormParams(name="norm1")(C)
+        wa, ba = _DenseParams(C, name="act_proj")(C)
+        wi, bi = _DenseParams(C, name="in_proj")(C)
+        use_fused = (deterministic and fused_tail_enabled()
+                     and not self.is_initializing())
+        if use_fused:
+            a_f, h_f = mlla_block_front_fused(
+                x.reshape(B, H * W, C), n1_s, n1_b, wa, ba, wi, bi)
+            act_res = a_f.reshape(B, H, W, C)
+            h = h_f.reshape(B, H, W, C)
+        else:
+            hn = _layer_norm(x, n1_s, n1_b, 1e-6)
+            act_res = jax.nn.silu(_dense(hn, wa, ba))
+            h = _dense(hn, wi, bi)
         h = jax.nn.silu(DWConv2d(name="dwc")(h))
 
         if self.sr_ratio == 1:
@@ -209,13 +357,33 @@ class MLLABlock(nn.Module):
             )(h2, deterministic)
             h = jnp.concatenate([h1, h2], axis=-1)
 
-        h = nn.Dense(C, name="out_proj")(h * act_res)
+        # block tail: gate-mul -> out_proj -> +res -> norm2 -> MLP -> +res.
+        # Params are declared via twins with nn.Dense/LayerNorm/Mlp-identical
+        # trees so the SAME weights serve both the functional reference path
+        # (training / CPU) and the fused single-HBM-pass Pallas kernel
+        # (inference on TPU; ops/mlla_fused.py).
+        hidden = int(C * self.mlp_ratio)
+        wo, bo = _DenseParams(C, name="out_proj")(C)
+        ln_s, ln_b = _LayerNormParams(name="norm2")(C)
+        w1, b1, w2, b2 = _MlpParams(hidden, C, name="mlp")(C)
+
+        if use_fused:
+            out = mlla_block_tail_fused(
+                h.reshape(B, H * W, C), act_res.reshape(B, H * W, C),
+                shortcut.reshape(B, H * W, C),
+                wo, bo, ln_s, ln_b, w1, b1, w2, b2)
+            return out.reshape(B, H, W, C)
+
+        h = _dense(h * act_res, wo, bo)
         x = shortcut + DropPath(self.drop_path)(h, deterministic)
 
-        h = nn.LayerNorm(name="norm2")(x)
-        h = Mlp(int(C * self.mlp_ratio), drop=self.drop, name="mlp")(
-            h, deterministic
-        )
+        h = _layer_norm(x, ln_s, ln_b, 1e-6)
+        h = gelu(_dense(h, w1, b1))
+        if self.drop:
+            h = nn.Dropout(self.drop)(h, deterministic=deterministic)
+        h = _dense(h, w2, b2)
+        if self.drop:
+            h = nn.Dropout(self.drop)(h, deterministic=deterministic)
         x = x + DropPath(self.drop_path)(h, deterministic)
         return x
 
