@@ -34,6 +34,16 @@ reverse grid order, with (a_first, g_first) of the later chunk carried in
 scratch. Within a chunk, h is recomputed from the saved start state
 (recompute-in-backward, exactly like the reference CUDA kernel), and all
 gradient contractions (dB, dC, du, ddelta, dA) are fused in VMEM.
+
+v2 kernels (default; MLAGG_SCAN_{FWD,BWD}_V2=0 reverts to the doubling
+kernels): time inside each chunk is factored as 128 contiguous
+lane-segments x T sequential sublane-steps (operands pre-interleaved by
+an XLA transpose that fuses into the producers). Each scan then costs a
+T-step full-width sequential recurrence (~3 ops/element) plus ONE
+doubling over the 128 segment summaries (~33/T ops/element) instead of a
+full lc-wide doubling (~33 ops/element). Measured at flagship MSMM
+shapes on v5e: forward kernel 32.6 -> 8.8 ms (3.7x), model forward
+127.6 -> 89.5 ms.
 """
 from __future__ import annotations
 
@@ -157,6 +167,280 @@ def _fwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref, D_ref,
         h0 = h[:, :, :, 0 if reverse else sub - 1]
 
     h_scratch[:, :, :d] = h0
+
+
+def _fwd_kernel_v2(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref, D_ref,
+                   y_ref, h0_ref, h_scratch, *, mega: int, state_every: int,
+                   softplus: bool, reverse: bool = False):
+    """Two-phase blocked forward scan (v2). Time inside the mega-chunk is
+    factored as ``time = s*T + t`` with S=128 contiguous segments on the
+    LANE axis and T steps on a sequential (unrolled) loop:
+
+      phase 1: h_loc[t] = a_t h_loc[t-1] + bx_t for t = 0..T-1 — every step
+               is a full-width (gb, n, db, 128) vector op (1 fma + 1
+               running-product mul per element), replacing the v1 doubling
+               scan's ~33 ops/element;
+      phase 2: one doubling scan over the 128 per-segment summaries
+               (A_seg = prod_t a_t, H_seg = h_loc[T-1]) — its ~33
+               ops/element are amortized by 1/T;
+      phase 3: the true state is h_loc[t] + acum[t] * H_in[seg], fused
+               directly into the y = sum_n(h*C) contraction.
+
+    The mega-chunk's operands arrive PRE-INTERLEAVED from the wrapper
+    (lane position t*128 + s holds time s*T + t — an XLA transpose that
+    typically fuses into the producers), so the in-kernel (T, S) view is a
+    FREE minor-128 split reshape; y is emitted interleaved and inverted by
+    the wrapper. Net op count ~21/element vs ~42 for v1 at T=8.
+    Same contract as _fwd_kernel: carry in VMEM scratch, backward-restart
+    states emitted per ``state_every`` lanes, reverse=True fully mirrored
+    (suffix-local phase 1, mirrored segment doubling, right-edge states).
+    """
+    S = 128
+    T = mega // S
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        h_scratch[:] = jnp.zeros_like(h_scratch)
+
+    A = A_ref[...].astype(jnp.float32)            # (gb, db, n)
+    bias = bias_ref[...].astype(jnp.float32)      # (gb, db, 1)
+    gb, db, n = A.shape
+    At = jnp.swapaxes(A, 1, 2)                    # (gb, n, db)
+    Df = D_ref[...].astype(jnp.float32)           # (gb, db, 1)
+
+    dt = dt_ref[...].astype(jnp.float32) + bias   # (gb, db, mega) interleaved
+    if softplus:
+        dt = jax.nn.softplus(dt)
+    u = u_ref[...].astype(jnp.float32)
+    dtu = dt * u
+    Bf = B_ref[...].astype(jnp.float32)           # (gb, n, mega) interleaved
+    Cf = C_ref[...].astype(jnp.float32)
+
+    def st(x, t):                                 # step t = lanes [t*S,(t+1)*S)
+        return x[:, :, t * S:(t + 1) * S]
+
+    h0 = h_scratch[:, :, :db]                     # (gb, n, db)
+    seg = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, S), dimension=3)
+
+    # ---- phase 1: sequential full-width recurrence (local, zero init)
+    h = jnp.zeros((gb, n, db, S), jnp.float32)
+    acc = None
+    h_loc = [None] * T
+    acum = [None] * T
+    ts = range(T) if not reverse else range(T - 1, -1, -1)
+    for i, t in enumerate(ts):
+        a_t = jnp.exp(st(dt, t)[:, None] * At[:, :, :, None])
+        bx_t = st(dtu, t)[:, None] * st(Bf, t)[:, :, None]
+        h = a_t * h + bx_t
+        acc = a_t if i == 0 else acc * a_t
+        h_loc[t] = h
+        acum[t] = acc
+
+    # ---- phase 2: scan the 128 segment summaries
+    bound = (S - 1) if reverse else 0
+    Hseg = jnp.where(seg == bound, h + acc * h0[:, :, :, None], h)
+    _, H_out = _doubling_scan(acc, Hseg, seg, S, reverse=reverse,
+                              skip_last_a=True)   # (gb, n, db, S)
+    if not reverse:
+        H_in = jnp.where(seg == 0, h0[:, :, :, None],
+                         pltpu.roll(H_out, 1, axis=3))
+    else:
+        H_in = jnp.where(seg == S - 1, h0[:, :, :, None],
+                         pltpu.roll(H_out, S - 1, axis=3))
+
+    # ---- backward-restart states (chunk k covers segments [k*c, (k+1)*c))
+    c = state_every // T
+    nstates = mega // state_every
+    for k in range(nstates):
+        if not reverse:
+            hk = h0 if k == 0 else H_out[:, :, :, k * c - 1]
+        else:
+            hk = h0 if k == nstates - 1 else H_out[:, :, :, (k + 1) * c]
+        h0_ref[:, k] = jnp.swapaxes(hk, 1, 2).astype(h0_ref.dtype)
+
+    # ---- phase 3 + y contraction, fused per step; y stays interleaved
+    # (the wrapper inverts the layout; step t = lanes [t*S, (t+1)*S)),
+    # D*u is layout-independent
+    for t in range(T):
+        h_t = h_loc[t] + acum[t] * H_in
+        y_t = (jnp.sum(h_t * st(Cf, t)[:, :, None], axis=1)
+               + Df * st(u, t))
+        y_ref[:, :, t * S:(t + 1) * S] = y_t.astype(y_ref.dtype)
+
+    h_scratch[:, :, :db] = H_out[:, :, :, 0 if reverse else S - 1]
+
+
+def _bwd_kernel_v2(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref, D_ref,
+                   gy_ref, h0_ref, du_ref, ddt_ref, dA_ref, dB_ref, dC_ref,
+                   dDb_ref, carry_scratch, dA_scratch, dDb_scratch,
+                   *, lc: int, softplus: bool, reverse: bool = False):
+    """Two-phase blocked backward (v2): the lc-chunk's operands arrive
+    PRE-INTERLEAVED (lane t*128+s holds time s*T+t, T = lc/128) and BOTH
+    in-chunk scans — the h recompute and the adjoint g — run as T
+    sequential full-width steps plus one 128-segment doubling each,
+    replacing v1's two lc-wide doubling scans (~2x43 ops/element) with
+    ~2x(5 + 33/T). The adjoint h_{t-1} (resp. h_{t+1} for reverse) needs
+    no extra storage: at a segment's first step it IS the phase-2 H_in.
+    du/ddt/dB/dC are emitted interleaved (the wrapper inverts); the
+    (g, d)-shaped dA/dD/dbias reductions are lane-sum invariant.
+    Same carry contract as _bwd_kernel: carry_scratch rows =
+    (a, g) at the later-in-time chunk's first time (mirrored for
+    reverse); grid walks chunks in reverse time order."""
+    S = 128
+    T = lc // S
+    j = pl.program_id(2)
+    nchunks = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        carry_scratch[:] = jnp.zeros_like(carry_scratch)
+        dA_scratch[:] = jnp.zeros_like(dA_scratch)
+        dDb_scratch[:] = jnp.zeros_like(dDb_scratch)
+
+    A = A_ref[...].astype(jnp.float32)              # (gb, db, n)
+    bias = bias_ref[...].astype(jnp.float32)        # (gb, db, 1)
+    gb, db, n = A.shape
+    At = jnp.swapaxes(A, 1, 2)                      # (gb, n, db)
+    Df = D_ref[...].astype(jnp.float32)             # (gb, db, 1)
+
+    pre = dt_ref[...].astype(jnp.float32) + bias    # (gb, db, lc) interleaved
+    dt = jax.nn.softplus(pre) if softplus else pre
+    u = u_ref[...].astype(jnp.float32)
+    dtu = dt * u
+    gy = gy_ref[...].astype(jnp.float32)
+    Bf = B_ref[...].astype(jnp.float32)             # (gb, n, lc) interleaved
+    Cf = C_ref[...].astype(jnp.float32)
+    h0 = jnp.swapaxes(h0_ref[:, 0].astype(jnp.float32), 1, 2)  # (gb, n, db)
+
+    def st(x, t):                                   # step t = lanes [t*S,(t+1)*S)
+        return x[:, :, t * S:(t + 1) * S]
+
+    seg = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, S), dimension=3)
+    a_carry = carry_scratch[0, :, :, :db]           # (gb, n, db)
+    g_carry = carry_scratch[1, :, :, :db]
+
+    # ---- recompute h (two-phase, same as the v2 forward)
+    a = [None] * T
+    h_loc = [None] * T
+    acum = [None] * T
+    h = jnp.zeros((gb, n, db, S), jnp.float32)
+    acc = None
+    ts = range(T) if not reverse else range(T - 1, -1, -1)
+    for i, t in enumerate(ts):
+        a[t] = jnp.exp(st(dt, t)[:, None] * At[:, :, :, None])
+        bx_t = st(dtu, t)[:, None] * st(Bf, t)[:, :, None]
+        h = a[t] * h + bx_t
+        acc = a[t] if i == 0 else acc * a[t]
+        h_loc[t] = h
+        acum[t] = acc
+    bound = (S - 1) if reverse else 0
+    Hseg = jnp.where(seg == bound, h + acc * h0[:, :, :, None], h)
+    _, H_out = _doubling_scan(acc, Hseg, seg, S, reverse=reverse,
+                              skip_last_a=True)
+    if not reverse:
+        H_in = jnp.where(seg == 0, h0[:, :, :, None],
+                         pltpu.roll(H_out, 1, axis=3))
+    else:
+        H_in = jnp.where(seg == S - 1, h0[:, :, :, None],
+                         pltpu.roll(H_out, S - 1, axis=3))
+
+    # ---- adjoint scan: g_t = G_t + a_{t+1} g_{t+1} (forward scans;
+    # mirrored to a_{t-1} g_{t-1} for reverse scans)
+    g_loc = [None] * T
+    sacc = [None] * T
+    g = None
+    sa = None
+    gs = range(T - 1, -1, -1) if not reverse else range(T)
+    for i, t in enumerate(gs):
+        G_t = st(gy, t)[:, None] * st(Cf, t)[:, :, None]
+        if i == 0:
+            g = G_t
+            sa = jnp.ones((gb, n, db, S), jnp.float32)
+        else:
+            a_link = a[t + 1] if not reverse else a[t - 1]
+            g = G_t + a_link * g
+            sa = sa * a_link
+        g_loc[t] = g
+        sacc[t] = sa
+    # link multiplier between segments: the a at the first time of the
+    # NEXT segment in scan order (next chunk's first a at the boundary)
+    if not reverse:
+        a_edge = a[0]                               # a at segment starts
+        a_nxt = jnp.where(seg == S - 1, a_carry[:, :, :, None],
+                          pltpu.roll(a_edge, S - 1, axis=3))
+        M = sacc[0] * a_nxt
+        gseg = jnp.where(seg == S - 1, g_loc[0] + M * g_carry[:, :, :, None],
+                         g_loc[0])
+        _, Gtrue = _doubling_scan(M, gseg, seg, S, reverse=True,
+                                  skip_last_a=True)
+        G_in = jnp.where(seg == S - 1, g_carry[:, :, :, None],
+                         pltpu.roll(Gtrue, S - 1, axis=3))
+        W = a_nxt * G_in
+        edge_s = 0
+    else:
+        a_edge = a[T - 1]                           # a at segment scan-starts
+        a_nxt = jnp.where(seg == 0, a_carry[:, :, :, None],
+                          pltpu.roll(a_edge, 1, axis=3))
+        M = sacc[T - 1] * a_nxt
+        gseg = jnp.where(seg == 0, g_loc[T - 1] + M * g_carry[:, :, :, None],
+                         g_loc[T - 1])
+        _, Gtrue = _doubling_scan(M, gseg, seg, S, reverse=False,
+                                  skip_last_a=True)
+        G_in = jnp.where(seg == 0, g_carry[:, :, :, None],
+                         pltpu.roll(Gtrue, 1, axis=3))
+        W = a_nxt * G_in
+        edge_s = S - 1
+
+    # carry for the next grid step (earlier chunk for forward scans,
+    # later chunk for reverse scans): (a, g_true) at this chunk's
+    # scan-entry time
+    carry_scratch[0, :, :, :db] = a_edge[:, :, :, edge_s]
+    carry_scratch[1, :, :, :db] = Gtrue[:, :, :, edge_s]
+
+    # ---- per-step correction + gradient contractions
+    dA_acc = None
+    dD_acc = None
+    dbias_acc = None
+    h_prev = None
+    steps = range(T) if not reverse else range(T - 1, -1, -1)
+    for i, t in enumerate(steps):
+        g_t = g_loc[t] + sacc[t] * W
+        h_t = h_loc[t] + acum[t] * H_in
+        h_adj = H_in if i == 0 else h_prev
+        h_prev = h_t
+        dda = g_t * h_adj * a[t]
+        gy_t = st(gy, t)
+        u_t = st(u, t)
+        dt_t = st(dt, t)
+        gB = jnp.sum(g_t * st(Bf, t)[:, :, None], axis=1)   # (gb, db, S)
+        du_t = dt_t * gB + Df * gy_t
+        du_ref[:, :, t * S:(t + 1) * S] = du_t.astype(du_ref.dtype)
+        ddt_t = u_t * gB + jnp.sum(dda * At[:, :, :, None], axis=1)
+        if softplus:
+            ddt_t = ddt_t * jax.nn.sigmoid(st(pre, t))
+        ddt_ref[:, :, t * S:(t + 1) * S] = ddt_t.astype(ddt_ref.dtype)
+        dB_t = jnp.sum(g_t * st(dtu, t)[:, None], axis=2)   # (gb, n, S)
+        dB_ref[:, 0, :, t * S:(t + 1) * S] = dB_t.astype(dB_ref.dtype)
+        dC_t = jnp.sum(h_t * gy_t[:, None], axis=2)
+        dC_ref[:, 0, :, t * S:(t + 1) * S] = dC_t.astype(dC_ref.dtype)
+        dA_t = jnp.sum(dda * dt_t[:, None], axis=3)         # (gb, n, db)
+        dA_acc = dA_t if i == 0 else dA_acc + dA_t
+        dD_t = jnp.sum(gy_t * u_t, axis=2)                  # (gb, db)
+        dD_acc = dD_t if i == 0 else dD_acc + dD_t
+        db_t = jnp.sum(ddt_t, axis=2)
+        dbias_acc = db_t if i == 0 else dbias_acc + db_t
+
+    dA_scratch[:, :, :db] += dA_acc
+    dDb_scratch[0, :, :db] += dD_acc
+    dDb_scratch[1, :, :db] += dbias_acc
+
+    @pl.when(j == nchunks - 1)
+    def _():
+        dA_ref[...] = jnp.swapaxes(dA_scratch[:, :, :db], 1, 2
+                                   ).astype(dA_ref.dtype)
+        dDb_ref[...] = jnp.transpose(dDb_scratch[:, :, :db], (1, 2, 0)
+                                     ).astype(dDb_ref.dtype)
 
 
 def _bwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref, D_ref, gy_ref,
@@ -410,6 +694,90 @@ _FWD_MEGA_SUBS = 4      # mega-chunk = at most 4 unrolled sub-chunks (8 OOM
                         # VMEM; a rolled fori_loop measured 27% slower)
 
 
+def _fwd_v2() -> bool:
+    import os
+
+    return os.environ.get("MLAGG_SCAN_FWD_V2", "1") != "0"
+
+
+def _bwd_v2() -> bool:
+    import os
+
+    return os.environ.get("MLAGG_SCAN_BWD_V2", "1") != "0"
+
+
+def _bwd_geometry_v2(BG: int, dp: int, n: int, lc: int):
+    """(gb, db) for the v2 backward. Live VMEM is dominated by the ~6T+10
+    (gb, n, db, 128) fp32 tensors (a[t], h_loc[t], acum[t], g_loc[t],
+    sacc[t], per-step temporaries + the H/G phase-2 machinery)."""
+    T = lc // 128
+
+    def fits(gb, db):
+        rec = (6 * T + 10) * gb * n * db * 128 * 4
+        io = 2 * gb * (3 * db * lc * 2 + 2 * n * lc * 2 + 2 * db * lc * 4
+                       + 2 * n * lc * 4)
+        return rec + io <= _VMEM_BUDGET
+
+    db = 8
+    for k in range(1, dp // 8 + 1):
+        if dp % k:
+            continue
+        cand = dp // k
+        if cand % 8 == 0 and fits(1, cand):
+            db = cand
+            break
+    gb = 1
+    for g_ in (8, 4, 2):
+        if BG % g_ == 0 and fits(g_, db):
+            gb = g_
+            break
+    return gb, db
+
+
+def _fwd_geometry_v2(BG: int, dp: int, n: int, lc: int, L: int):
+    """v2 geometry: mega = k*lc lanes processed as T = mega/128 sequential
+    steps over 128 lane-segments. VMEM is dominated by the 2T+~6 live
+    (gb, n, db, 128) fp32 recurrence tensors (h_loc[t], acum[t], phase-2/3
+    temporaries), plus the interleaved d-/n-sized inputs and the
+    double-buffered IO blocks."""
+
+    def fits(gb, db, mega):
+        T = mega // 128
+        rec = (2 * T + 6) * gb * n * db * 128 * 4
+        inter = gb * (3 * db + 2 * n) * mega * 4
+        io = 2 * gb * (2 * db * mega * 2 + 2 * n * mega * 2 + db * mega * 4)
+        states = 2 * gb * max(1, mega // lc) * db * n * 4
+        return rec + inter + io + states <= _VMEM_BUDGET
+
+    # prefer the largest T (amortizes the phase-2 doubling), then db, then gb
+    best = None
+    for mega in (8 * lc, 4 * lc, 2 * lc, lc):
+        if mega > 1024 or mega % 128 or lc % (mega // 128):
+            continue
+        if (-L) % mega > max(L // 8, lc):
+            continue
+        db = None
+        for k in range(1, dp // 8 + 1):
+            if dp % k:
+                continue
+            cand = dp // k
+            if cand % 8 == 0 and fits(1, cand, mega):
+                db = cand
+                break
+        if db is None:
+            continue
+        gb = 1
+        for g_ in (8, 4, 2):
+            if BG % g_ == 0 and fits(g_, db, mega):
+                gb = g_
+                break
+        if best is None or mega > best[2]:
+            best = (gb, db, mega, 128)
+    if best is None:
+        best = (1, 8, lc, 128)
+    return best
+
+
 def _fwd_geometry(BG: int, dp: int, n: int, lc: int, L: int):
     """Forward-specific (gb, db, mega, sub). Unlike the backward (whose
     doubling temporaries are lc-sized), the forward iterates its mega-chunk
@@ -418,6 +786,9 @@ def _fwd_geometry(BG: int, dp: int, n: int, lc: int, L: int):
     / row groups than the backward. IO blocks (u/dt/B/C/y at mega lanes)
     are double-buffered by Pallas."""
     import os
+
+    if _fwd_v2():
+        return _fwd_geometry_v2(BG, dp, n, lc, L)
 
     sub = int(os.environ.get("MLAGG_SCAN_FWD_SUB", 0)) or min(_FWD_SUB, lc)
     sub = min(sub, lc)
@@ -468,10 +839,33 @@ def _pallas_forward(u, delta, A, B, C, D, delta_bias, delta_softplus,
     gb, db, mega, sub = _fwd_geometry(BG, dp, n, lc, L)
     nmega = Lp // mega
     states_per_mega = mega // lc
-    # alignment invariants: every lane is covered by exactly one sub-chunk
-    # and every state-emission point is a sub-chunk start
-    assert mega % sub == 0 and lc % sub == 0 and mega % lc == 0, (
-        f"scan chunking misaligned: mega={mega} lc={lc} sub={sub}")
+    v2 = _fwd_v2()
+    T = mega // 128
+    if v2:
+        # v2 invariants: 128 lane-segments of T = mega/128 steps each; every
+        # state-emission point (every lc lanes) lands on a segment boundary
+        assert mega % 128 == 0 and mega % lc == 0 and lc % (mega // 128) == 0, (
+            f"scan v2 chunking misaligned: mega={mega} lc={lc}")
+        kernel = functools.partial(_fwd_kernel_v2, mega=mega, state_every=lc,
+                                   softplus=delta_softplus, reverse=reverse)
+        if T > 1:
+            # per-mega (S, T) interleave: lane t*128+s <- time s*T+t. An XLA
+            # transpose at HBM that usually fuses into the producers; the
+            # kernel's (T, S) view is then a free minor-128 split.
+            def il(x):
+                c = x.shape[1]
+                return (x.reshape(BG, c, nmega, 128, T).swapaxes(-1, -2)
+                        .reshape(BG, c, Lp))
+
+            u_f, dt_f, B_f, C_f = il(u_f), il(dt_f), il(B_f), il(C_f)
+    else:
+        # alignment invariants: every lane is covered by exactly one
+        # sub-chunk and every state-emission point is a sub-chunk start
+        assert mega % sub == 0 and lc % sub == 0 and mega % lc == 0, (
+            f"scan chunking misaligned: mega={mega} lc={lc} sub={sub}")
+        kernel = functools.partial(_fwd_kernel, lc=mega, sub=sub,
+                                   state_every=lc, softplus=delta_softplus,
+                                   reverse=reverse)
 
     # reverse: iterate megas back-to-front so the VMEM state flows
     # right-to-left; the kernel mirrors its sub-chunk loop and doubling
@@ -488,8 +882,7 @@ def _pallas_forward(u, delta, A, B, C, D, delta_bias, delta_softplus,
 
     grid = (BG // gb, dp // db, nmega)
     y, h0_states = pl.pallas_call(
-        functools.partial(_fwd_kernel, lc=mega, sub=sub, state_every=lc,
-                          softplus=delta_softplus, reverse=reverse),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((gb, db, mega), lmap),
@@ -516,6 +909,9 @@ def _pallas_forward(u, delta, A, B, C, D, delta_bias, delta_softplus,
         interpret=_interpret(),
     )(u_f, dt_f, bias_f, A_f, B_f, C_f, D_f)
 
+    if v2 and T > 1:
+        y = (y.reshape(BG, dp, nmega, T, 128).swapaxes(-1, -2)
+             .reshape(BG, dp, Lp))
     y = y.reshape(b, g, dp, Lp)[:, :, :d, :L]
     if with_states:
         return y, h0_states
@@ -542,6 +938,24 @@ def _pallas_backward(u, delta, A, B, C, D, delta_bias, delta_softplus,
     gy_f = gy_f.reshape(BG, dp, Lp)
 
     db = s["db"]
+    v2 = _bwd_v2()
+    T = lc // 128
+    if v2:
+        gb, db = _bwd_geometry_v2(BG, dp, n, lc)
+        if T > 1:
+            # per-chunk (S, T) interleave, same convention as the forward
+            def il(x):
+                c = x.shape[1]
+                return (x.reshape(BG, c, nchunks, 128, T).swapaxes(-1, -2)
+                        .reshape(BG, c, Lp))
+
+            u_f, dt_f, B_f, C_f, gy_f = (il(u_f), il(dt_f), il(B_f),
+                                         il(C_f), il(gy_f))
+        kernel = functools.partial(_bwd_kernel_v2, lc=lc,
+                                   softplus=delta_softplus, reverse=reverse)
+    else:
+        kernel = functools.partial(_bwd_kernel, lc=lc,
+                                   softplus=delta_softplus, reverse=reverse)
     grid = (BG // gb, dp // db, nchunks)
     # forward scans process chunks back-to-front (the adjoint recurrence
     # flows right-to-left); reverse scans mirror everything, so their
@@ -561,8 +975,7 @@ def _pallas_backward(u, delta, A, B, C, D, delta_bias, delta_softplus,
         return (i, jd, 0, j if reverse else rev - j)
 
     du_c, ddt_c, dA_c, dB_c, dC_c, dDb_c = pl.pallas_call(
-        functools.partial(_bwd_kernel, lc=lc, softplus=delta_softplus,
-                          reverse=reverse),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((gb, db, lc), lmap),
@@ -599,6 +1012,15 @@ def _pallas_backward(u, delta, A, B, C, D, delta_bias, delta_softplus,
         interpret=_interpret(),
     )(u_f, dt_f, bias_f, A_f, B_f, C_f, D_f, gy_f, h0_states)
 
+    if v2 and T > 1:
+        def uil(x):                                 # inverse interleave
+            c = x.shape[1]
+            return (x.reshape(BG, c, nchunks, T, 128).swapaxes(-1, -2)
+                    .reshape(BG, c, Lp))
+
+        du_c, ddt_c = uil(du_c), uil(ddt_c)
+        dB_c = uil(dB_c.reshape(BG, -1, Lp)).reshape(dB_c.shape)
+        dC_c = uil(dC_c.reshape(BG, -1, Lp)).reshape(dC_c.shape)
     du = du_c.reshape(b, g, dp, Lp)[:, :, :d, :L]
     ddelta = ddt_c.reshape(b, g, dp, Lp)[:, :, :d, :L]
     dA_bg = dA_c.reshape(b, g, dp, n)[:, :, :d, :]

