@@ -18,6 +18,10 @@ import numpy as np
 from flax import linen as nn
 
 from mlagg_unet_tpu.models.layers import ConvTransposeTorch, InstanceNorm
+from mlagg_unet_tpu.ops.fused_norm import (
+    fused_instance_norm,
+    fused_norms_enabled,
+)
 
 
 def lrelu(x):
@@ -28,8 +32,32 @@ def _per_axis(v, d):
     return tuple(v) if isinstance(v, (tuple, list)) else (v,) * d
 
 
+class _INParams(nn.Module):
+    """Param-only twin of InstanceNorm (child GroupNorm_0{scale, bias}) —
+    same tree/shapes/init as the functional module, so checkpoints and the
+    torch importer are unchanged when the fused kernel path is taken."""
+
+    @nn.compact
+    def __call__(self, channels: int):
+        class _G(nn.Module):
+            @nn.compact
+            def __call__(self_g):
+                return (self_g.param("scale", nn.initializers.ones,
+                                     (channels,)),
+                        self_g.param("bias", nn.initializers.zeros,
+                                     (channels,)))
+
+        return _G(name="GroupNorm_0")()
+
+
 class UnetResBlock(nn.Module):
-    """conv(k,s)->IN->lrelu->conv(k,1)->IN [+ 1x1/IN residual] ->lrelu."""
+    """conv(k,s)->IN->lrelu->conv(k,1)->IN [+ 1x1/IN residual] ->lrelu.
+
+    On TPU the norm/act/residual chains run through the fused Pallas
+    instance-norm kernel (ops/fused_norm.py, MLAGG_FUSED_IN=0 reverts):
+    exact same math, one stats read + one fused write instead of XLA's
+    per-norm reduce/normalize/select fusions.
+    """
 
     out_channels: int
     kernel_size: Union[int, Sequence[int]] = 3
@@ -41,18 +69,35 @@ class UnetResBlock(nn.Module):
         ks = _per_axis(self.kernel_size, d)
         ss = _per_axis(self.stride, d)
         cin = x.shape[-1]
-        out = nn.Conv(self.out_channels, ks, strides=ss,
+        co = self.out_channels
+        has_proj = cin != co or bool(np.any(np.asarray(ss) != 1))
+        fused = fused_norms_enabled()
+
+        out = nn.Conv(co, ks, strides=ss,
                       padding=[(k // 2, k // 2) for k in ks],
                       name="conv1")(x)
-        out = InstanceNorm(name="norm1")(out)
-        out = lrelu(out)
-        out = nn.Conv(self.out_channels, ks,
+        if fused:
+            s1, b1 = _INParams(name="norm1")(co)
+            out = fused_instance_norm(out, s1, b1, act=True)
+        else:
+            out = lrelu(InstanceNorm(name="norm1")(out))
+        out = nn.Conv(co, ks,
                       padding=[(k // 2, k // 2) for k in ks],
                       name="conv2")(out)
+        if fused:
+            s2, b2 = _INParams(name="norm2")(co)
+            if has_proj:
+                residual = nn.Conv(co, (1,) * d, strides=ss,
+                                   name="conv3")(x)
+                s3, b3 = _INParams(name="norm3")(co)
+                return fused_instance_norm(out, s2, b2, act=True,
+                                           residual=residual,
+                                           res_scale=s3, res_bias=b3)
+            return fused_instance_norm(out, s2, b2, act=True, residual=x)
         out = InstanceNorm(name="norm2")(out)
         residual = x
-        if cin != self.out_channels or np.any(np.asarray(ss) != 1):
-            residual = nn.Conv(self.out_channels, (1,) * d, strides=ss,
+        if has_proj:
+            residual = nn.Conv(co, (1,) * d, strides=ss,
                                name="conv3")(x)
             residual = InstanceNorm(name="norm3")(residual)
         return lrelu(out + residual)
