@@ -36,6 +36,25 @@ def _softplus(x):
     return jax.nn.softplus(x)
 
 
+def _match_vma(x, ref):
+    """Give ``x`` the same varying-manual-axes type as ``ref``.
+
+    Under ``shard_map`` (jax>=0.9 vma semantics), a ``lax.scan`` carry
+    initialized with ``jnp.zeros`` is *unvarying* while the carry produced
+    by the body (derived from sharded operands) is varying on the mesh
+    axes — the scan then fails type-checking. ``jax.lax.pvary`` on the
+    ref's vma set fixes the init; outside shard_map vma is empty and this
+    is a no-op.
+    """
+    vma = getattr(jax.typeof(ref), "vma", None)
+    if vma:
+        if hasattr(jax.lax, "pcast"):
+            x = jax.lax.pcast(x, tuple(vma), to="varying")
+        else:
+            x = jax.lax.pvary(x, tuple(vma))
+    return x
+
+
 def _prep(u, delta, A, B, C, D, delta_bias, delta_softplus):
     """Validate shapes and force fp32. Shapes:
     u, delta: (b, g, d, l); A: (g, d, n); B, C: (b, g, n, l);
@@ -88,7 +107,7 @@ def selective_scan_seq_ref(
         y = jnp.sum(h * C_l[:, :, None, :], axis=-1)          # (b,g,d)
         return h, y
 
-    h0 = jnp.zeros((b, g, d, n), jnp.float32)
+    h0 = _match_vma(jnp.zeros((b, g, d, n), jnp.float32), u)
     _, ys = jax.lax.scan(step, h0, (u_t, delta_t, B_t, C_t))
     y = jnp.moveaxis(ys, 0, -1)  # (b,g,d,l)
     if D is not None:
@@ -174,7 +193,7 @@ def selective_scan(
         h, y_c = chunk_fn(h, u_c, delta_c, B_c, C_c)
         return h, y_c
 
-    h0 = jnp.zeros((b, g, d, n), jnp.float32)
+    h0 = _match_vma(jnp.zeros((b, g, d, n), jnp.float32), u)
     _, y_chunks = jax.lax.scan(scan_body, h0, (u_ch, delta_ch, B_ch, C_ch))
     y = jnp.moveaxis(y_chunks, 0, -2).reshape(b, g, d, l + pad)[..., :l]
     if D is not None:
