@@ -106,6 +106,13 @@ def main():
         "value": round(vps, 4),
         "unit": "volumes/s",
         "vs_baseline": round(vps / CUDA_BASELINE_VOLUMES_PER_SEC, 4),
+        # the A100 anchor derivation spans 1.0-2.8 volumes/s (see module
+        # docstring); vs_baseline above uses the generous low end, this
+        # range reports the multiple against both ends honestly
+        "vs_baseline_range": [
+            round(vps / 2.8, 4),
+            round(vps / CUDA_BASELINE_VOLUMES_PER_SEC, 4),
+        ],
     }
     print(json.dumps(result))
 

@@ -345,10 +345,13 @@ class VolumePredictor:
         fp32 (bit-exact with the accumulator). jnp.bfloat16 halves the
         fetch bytes — the reference itself moves HALF-precision logits to
         the CPU (predicted_logits stays torch.half through .cpu(),
-        sliding_window_prediction.py:110-197), so a 16-bit transfer is
-        reference-level output precision while our on-device accumulation
-        stays fp32 (better than the reference's half accumulator).
-        finalize() returns fp32 either way."""
+        sliding_window_prediction.py:110-197). Quantization caveat: the
+        reference's half is fp16 (10 mantissa bits) while bf16 keeps only
+        8, so bf16-transferred logits are slightly coarser than the
+        reference's — argmax equivalence of the resulting segmentation is
+        near-certain but not guaranteed bit-for-bit; our on-device
+        accumulation stays fp32 either way (better than the reference's
+        half accumulator). finalize() returns fp32 either way."""
         from . import memory_budget as _mb
         self.apply_fn = apply_fn
         self.params = params

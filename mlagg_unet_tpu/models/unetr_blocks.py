@@ -53,10 +53,10 @@ class _INParams(nn.Module):
 class UnetResBlock(nn.Module):
     """conv(k,s)->IN->lrelu->conv(k,1)->IN [+ 1x1/IN residual] ->lrelu.
 
-    On TPU the norm/act/residual chains run through the fused Pallas
-    instance-norm kernel (ops/fused_norm.py, MLAGG_FUSED_IN=0 reverts):
-    exact same math, one stats read + one fused write instead of XLA's
-    per-norm reduce/normalize/select fusions.
+    With MLAGG_FUSED_IN=1 the norm/act/residual chains run through the
+    fused Pallas instance-norm kernel (ops/fused_norm.py): same math, one
+    stats read + one fused write. OFF by default — measured slower
+    end-to-end than XLA's own fusions (see fused_norm.py docstring).
     """
 
     out_channels: int

@@ -12,10 +12,18 @@ chain in TWO passes over HBM (one stats read, one fused
 normalize-add-act read+write), fp32 arithmetic in VMEM, I/O in the model
 dtype.
 
-Training: the op carries a custom_vjp whose backward recomputes the exact
+Measured outcome (2026-08-21 A/B on v5e, flagship sliding-window bench):
+the kernel LOSES end-to-end — 0.992 vol/s fused vs 1.1727 unfused —
+because splitting the chain out of XLA's surrounding fusions costs more
+than the norm passes save. Default OFF (see fused_norms_enabled); kept
+as a tested opt-in for future tile-geometry tuning.
+
+Training: the op carries a custom_vjp whose backward recomputes the
 functional (flax GroupNorm-equivalent) graph and differentiates it, so
-gradients are bit-identical to the unfused path and the kernel is safe to
-use inside jitted train steps.
+gradients are numerically equivalent (fp32-rounding-level, measured ~3e-5
+on scale/bias grads vs the flax GroupNorm path) to the unfused path and
+the kernel is safe to use inside jitted train steps. Note the fused mode-1
+residual add runs in fp32 where the unfused path adds post-cast.
 
 Instance norm here == torch InstanceNorm2d/3d == flax GroupNorm with one
 group per channel: per-(sample, channel) mean/var over ALL spatial
@@ -34,8 +42,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def fused_norms_enabled() -> bool:
-    return (os.environ.get("MLAGG_FUSED_IN", "1") != "0"
-            and jax.default_backend() == "tpu")
+    """Default OFF: the kernel is numerically equivalent and fully tested
+    (tests/test_fused_norm.py) but measured SLOWER end-to-end than XLA's
+    own norm fusions in the flagship inference bench — 0.992 vs 1.1727
+    vol/s on v5e (2026-08-21 A/B, MLAGG_FUSED_IN=1 vs 0, same HEAD); it
+    was the round-4 1.1879->1.0567 regression. Kept as an opt-in tuning
+    vehicle (MLAGG_FUSED_IN=1 enables on any backend; interpret-mode
+    Pallas off-TPU — slow, for CPU tests of the fused model branch)."""
+    return os.environ.get("MLAGG_FUSED_IN", "0") == "1"
 
 
 def _leaky(x):
@@ -102,13 +116,17 @@ def _apply_kernel(*refs, S: int, eps: float, act: bool, res_mode: int):
 
 # ------------------------------------------------------------- dispatch
 
-def _pick_tile(S: int, NC: int, n_streams: int) -> int:
-    # keep the live fp32 working set well inside VMEM
+def _pick_tile(S: int, NC: int, n_streams: int) -> Optional[int]:
+    # keep the live fp32 working set well inside VMEM; None = even the
+    # minimum tile would blow the budget (caller falls back to the
+    # functional path instead of risking a VMEM OOM)
     ts = 1024
     budget = 8 * 1024 * 1024
     lanes = -(-NC // 128) * 128
     while ts > 8 and (ts > S or ts * lanes * 4 * n_streams > budget):
         ts //= 2
+    if ts * lanes * 4 * n_streams > budget:
+        return None
     return ts
 
 
@@ -152,6 +170,9 @@ def _fused_forward(x, scale, bias, residual, res_scale, res_bias,
 
     n_streams = 3 if res_mode else 2
     ts = _pick_tile(S, NC, n_streams)
+    if ts is None:
+        return _functional(x, scale, bias, residual, res_scale, res_bias,
+                           act, res_mode, eps)
     nt = pl.cdiv(S, ts)
 
     tmap = lambda t: (t, 0)

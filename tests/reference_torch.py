@@ -189,11 +189,19 @@ def _install_shims():
                 return lambda f: f
             return fn
 
+    # torch._dynamo probes triton.language.dtype at import when it sees a
+    # 'triton' module — import it now (real-triton absent => clean path)
+    # so the fake module can't break later optimizer construction
+    try:
+        import torch._dynamo  # noqa: F401
+    except Exception:
+        pass
     triton = types.ModuleType("triton")
     triton.jit = _FakeJit()
     tl = types.ModuleType("triton.language")
 
     tl.constexpr = object
+    tl.dtype = type("dtype", (), {})
     triton.language = tl
     sys.modules["triton"] = triton
     sys.modules["triton.language"] = tl
