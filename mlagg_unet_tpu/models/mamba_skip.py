@@ -29,10 +29,18 @@ from mlagg_unet_tpu.models.layers import (
 )
 from mlagg_unet_tpu.ops.cross_scan import (
     cross_merge_multiscale_tokens_2dir,
+    cross_merge_multiscale_tokens_2dir_il,
     cross_scan_multiscale_2dir,
+    cross_scan_multiscale_2dir_il,
+    il_pad_mask,
 )
+from mlagg_unet_tpu.ops import scan_impl_is_pallas
 from mlagg_unet_tpu.ops import selective_scan_auto as selective_scan
-from mlagg_unet_tpu.ops.selective_scan_pallas import padded_scan_len
+from mlagg_unet_tpu.ops.selective_scan_pallas import (
+    IL_MEGA,
+    interleaved_scan_ok,
+    padded_scan_len,
+)
 
 
 def _a_log_init(copies: int, d_inner: int, d_state: int):
@@ -110,11 +118,32 @@ class SS2DSkip(nn.Module):
         # are the same sequences scanned right-to-left, which the Pallas
         # kernel does natively (reverse=True index maps) — the reference's
         # per-scale flip copies (MambaSkip.py:414-422) vanish entirely.
-        l_real = sum(x.shape[1] * x.shape[2] for x in feats)
-        pad_to = padded_scan_len(l_real, d_inner, self.d_state)
-        xs_fwd, l_split = cross_scan_multiscale_2dir(feats, pad_to=pad_to)
-        xs_rev, _ = cross_scan_multiscale_2dir(feats, pad_to=pad_to,
-                                               reverse_scales=True)
+        #
+        # Interleaved fast path (Pallas v2): build the operands directly in
+        # the kernel's (S=128, T) lane order (composing the interleave into
+        # the cross-scan transposes — saves the wrapper's four interleave
+        # shuffles, ~7.3 ms/call at flagship shapes). Scales are padded to
+        # IL_MEGA individually; pad lanes get delta = -1e9 (softplus -> 0)
+        # so state passes through pads untouched and the cross-scale
+        # "implicit causality" is bit-exact (reference MambaSkip.py:405-422).
+        use_il = (scan_impl_is_pallas()
+                  and interleaved_scan_ok(B, 2, d_inner, self.d_state))
+        if use_il:
+            xs_fwd, _ = cross_scan_multiscale_2dir_il(feats, IL_MEGA)
+            xs_rev, _ = cross_scan_multiscale_2dir_il(feats, IL_MEGA,
+                                                      reverse_scales=True)
+            mask_f = jnp.asarray(
+                il_pad_mask(shapes, IL_MEGA, False))[None, None, None, :]
+            mask_r = jnp.asarray(
+                il_pad_mask(shapes, IL_MEGA, True))[None, None, None, :]
+            l_split = None
+        else:
+            l_real = sum(x.shape[1] * x.shape[2] for x in feats)
+            pad_to = padded_scan_len(l_real, d_inner, self.d_state)
+            xs_fwd, l_split = cross_scan_multiscale_2dir(feats, pad_to=pad_to)
+            xs_rev, _ = cross_scan_multiscale_2dir(feats, pad_to=pad_to,
+                                                   reverse_scales=True)
+            mask_f = mask_r = None
         L = xs_fwd.shape[-1]
 
         x_proj_weight = self.param(
@@ -142,7 +171,7 @@ class SS2DSkip(nn.Module):
         cdt = xs_fwd.dtype
         A = -jnp.exp(A_logs)                                 # (K, Din, N)
 
-        def project_and_scan(xs, k_slice, reverse):
+        def project_and_scan(xs, k_slice, reverse, mask):
             x_dbl = jnp.einsum(
                 "bkdl,kcd->bkcl", xs, x_proj_weight[k_slice].astype(cdt),
                 preferred_element_type=cdt,
@@ -154,20 +183,29 @@ class SS2DSkip(nn.Module):
                 "bkrl,kdr->bkdl", dts, dt_projs_weight[k_slice].astype(cdt),
                 preferred_element_type=cdt,
             )
+            if mask is not None:
+                # interior pad lanes: delta -> -1e9 so softplus(dt+bias)=0
+                # => a=1, bx=0 (exact passthrough). u/B/C are already 0
+                # there. Fuses into the dts einsum epilogue.
+                dts = jnp.where(mask, dts, jnp.asarray(-1e9, dts.dtype))
             return selective_scan(
                 xs, dts, A[k_slice], Bs, Cs, Ds[k_slice],
                 dt_projs_bias[k_slice], delta_softplus=True,
-                reverse=reverse,
+                reverse=reverse, interleaved=use_il,
             )                                 # (B,2,Din,L), cdt (fp32 accum)
 
-        out_fwd = project_and_scan(xs_fwd, slice(0, 2), False)
-        out_rev = project_and_scan(xs_rev, slice(2, 4), True)
+        out_fwd = project_and_scan(xs_fwd, slice(0, 2), False, mask_f)
+        out_rev = project_and_scan(xs_rev, slice(2, 4), True, mask_r)
 
         # per-scale token tensors: LN/out_proj are token-pointwise, so
         # applying them per scale is exact and skips the full-length fp32
         # re-concat + (B,C,L)->(B,L,C) swap of a merged tensor
-        y_scales = cross_merge_multiscale_tokens_2dir(
-            out_fwd, out_rev, shapes, l_split)
+        if use_il:
+            y_scales = cross_merge_multiscale_tokens_2dir_il(
+                out_fwd, out_rev, shapes, IL_MEGA)
+        else:
+            y_scales = cross_merge_multiscale_tokens_2dir(
+                out_fwd, out_rev, shapes, l_split)
         # LN in fp32 (autocast semantics), then back to the compute dtype
         # for the projection (reference out_proj runs in fp16 under AMP)
         out_norm = nn.LayerNorm(name="out_norm")

@@ -20,12 +20,21 @@ def set_default_scan_impl(impl: str) -> None:
     _SCAN_IMPL = impl
 
 
+def scan_impl_is_pallas() -> bool:
+    """True iff selective_scan_auto will dispatch to the Pallas kernels
+    (models gate Pallas-only options, e.g. interleaved layouts, on this)."""
+    return _SCAN_IMPL == "pallas" or (
+        _SCAN_IMPL == "auto" and jax.default_backend() == "tpu"
+    )
+
+
 def selective_scan_auto(*args, **kwargs):
     """Dispatch: Pallas kernel on TPU (15x faster at MSMM shapes — VMEM-
     resident chunk scans), XLA chunked associative scan elsewhere (the
     Pallas interpreter is too slow for production shapes off-TPU)."""
-    if _SCAN_IMPL == "pallas" or (
-        _SCAN_IMPL == "auto" and jax.default_backend() == "tpu"
-    ):
+    if scan_impl_is_pallas():
         return selective_scan_pallas(*args, **kwargs)
+    assert not kwargs.pop("interleaved", False), (
+        "interleaved operand layout is a Pallas-only contract; gate the "
+        "caller on scan_impl_is_pallas()")
     return selective_scan(*args, **kwargs)

@@ -18,6 +18,126 @@ from __future__ import annotations
 from typing import List, Sequence, Tuple
 
 import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Interleaved-layout variants (MSMM fast path).
+#
+# The v2 selective-scan kernels consume the L axis in (S=128, T) lane order
+# per IL_MEGA-lane chunk (lane t*128+s <-> time s*T+t; see
+# selective_scan_pallas.IL_MEGA). Producing that order directly from the
+# NHWC feature maps composes the interleave permutation into the cross-scan
+# transpose that must happen anyway — one gather instead of
+# transpose-concat-interleave (the wrapper's own interleave measured
+# ~7.3 ms/call at MSMM shapes, v5e 2026-08-21).
+#
+# Each scale is padded to an IL_MEGA multiple so every scale occupies whole
+# chunks and the per-scale permutations compose. Interior pad lanes have
+# u = B = C = 0; the caller forces their delta to -1e9 (softplus -> 0 =>
+# a = 1, bx = 0: exact state passthrough across scale boundaries, matching
+# the reference's uninterrupted cross-scale scan) via il_pad_mask.
+# ---------------------------------------------------------------------------
+
+def _pad_to(L: int, mega: int) -> int:
+    return -(-L // mega) * mega
+
+
+def interleave_tokens(tok: jnp.ndarray, mega: int) -> jnp.ndarray:
+    """tok: (B, L, C) natural token order -> (B, C, Lp) in IL lane order
+    (zero-padded to an L multiple of mega). time m*mega + s*T + t lands at
+    lane m*mega + t*128 + s."""
+    B, L, C = tok.shape
+    Lp = _pad_to(L, mega)
+    if Lp != L:
+        tok = jnp.pad(tok, ((0, 0), (0, Lp - L), (0, 0)))
+    T = mega // 128
+    t5 = tok.reshape(B, Lp // mega, 128, T, C)        # (B, m, s, t, C)
+    return jnp.transpose(t5, (0, 4, 1, 3, 2)).reshape(B, C, Lp)
+
+
+def deinterleave_to_tokens(y: jnp.ndarray, mega: int, L: int) -> jnp.ndarray:
+    """y: (B, K, C, Lp) in IL lane order -> (B, K, L, C) natural tokens."""
+    B, K, C, Lp = y.shape
+    T = mega // 128
+    y6 = y.reshape(B, K, C, Lp // mega, T, 128)       # (B, K, C, m, t, s)
+    out = jnp.transpose(y6, (0, 1, 3, 5, 4, 2)).reshape(B, K, Lp, C)
+    return out[:, :, :L]
+
+
+def cross_scan_multiscale_2dir_il(
+    xs: Sequence[jnp.ndarray], mega: int, reverse_scales: bool = False,
+) -> Tuple[jnp.ndarray, List[int]]:
+    """Interleaved-layout counterpart of cross_scan_multiscale_2dir:
+    returns ((B, 2, C, Lp_cat) in IL lane order, [padded L_i]). Scales are
+    zero-padded to mega multiples individually (the scan passes state
+    through pads — see il_pad_mask) and concatenated in forward or
+    reversed scale order."""
+    parts = []
+    for x in xs:
+        B, H, W, C = x.shape
+        row = x.reshape(B, H * W, C)
+        col = jnp.transpose(x, (0, 2, 1, 3)).reshape(B, H * W, C)
+        parts.append(jnp.stack([interleave_tokens(row, mega),
+                                interleave_tokens(col, mega)], axis=1))
+    l_pad = [_pad_to(x.shape[1] * x.shape[2], mega) for x in xs]
+    order = (range(len(xs) - 1, -1, -1) if reverse_scales
+             else range(len(xs)))
+    return jnp.concatenate([parts[i] for i in order], axis=-1), l_pad
+
+
+def il_pad_mask(
+    shapes: Sequence[Tuple[int, int]], mega: int, reverse_scales: bool,
+) -> np.ndarray:
+    """(Lp_cat,) bool, True = real token, in the interleaved lane order of
+    cross_scan_multiscale_2dir_il's concat. Static (numpy) — callers fold
+    it into the dts einsum epilogue as where(mask, dts, -1e9)."""
+    T = mega // 128
+    order = (range(len(shapes) - 1, -1, -1) if reverse_scales
+             else range(len(shapes)))
+    pieces = []
+    for i in order:
+        H, W = shapes[i]
+        L = H * W
+        Lp = _pad_to(L, mega)
+        m = np.zeros(Lp, bool)
+        m[:L] = True
+        pieces.append(
+            m.reshape(Lp // mega, 128, T).transpose(0, 2, 1).reshape(Lp))
+    return np.concatenate(pieces)
+
+
+def cross_merge_multiscale_tokens_2dir_il(
+    y_fwd: jnp.ndarray, y_rev: jnp.ndarray,
+    shapes: Sequence[Tuple[int, int]], mega: int,
+) -> List[jnp.ndarray]:
+    """Interleaved counterpart of cross_merge_multiscale_tokens_2dir:
+    y_fwd/y_rev are (B, 2, C, Lp_cat) scan outputs in IL lane order (fwd =
+    forward scale order, rev = reversed scale order). Returns per-scale
+    natural token tensors [(B, L_i, C)] summed over the 4 directions."""
+    B, _, C, _ = y_fwd.shape
+    l_pad = [_pad_to(h * w, mega) for h, w in shapes]
+    off_f = [0]
+    for l in l_pad:
+        off_f.append(off_f[-1] + l)
+    off_r = {}
+    pos = 0
+    for i in range(len(shapes) - 1, -1, -1):
+        off_r[i] = pos
+        pos += l_pad[i]
+    out = []
+    for i, (H, W) in enumerate(shapes):
+        L = H * W
+        sf = slice(off_f[i], off_f[i + 1])
+        sr = slice(off_r[i], off_r[i] + l_pad[i])
+        yf = deinterleave_to_tokens(y_fwd[..., sf], mega, L)  # (B,2,L,C)
+        yr = deinterleave_to_tokens(y_rev[..., sr], mega, L)
+        row = yf[:, 0] + yr[:, 0]                             # (B, L, C)
+        colseq = yf[:, 1] + yr[:, 1]                          # col-major order
+        col = jnp.transpose(colseq.reshape(B, W, H, C), (0, 2, 1, 3)
+                            ).reshape(B, L, C)
+        out.append(row + col)
+    return out
 
 
 def cross_scan_2d(x: jnp.ndarray) -> jnp.ndarray:

@@ -555,6 +555,28 @@ def _bwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref, D_ref, gy_ref,
 _VMEM_BUDGET = 14 * 1024 * 1024
 _LIVE_TENSORS = 9
 
+# Interleaved-operand mode (MSMM fast path): the caller pre-lays the L
+# axis out in the v2 kernels' (S=128, T) order at this fixed granularity
+# and passes interleaved=True — the wrapper's own per-operand interleave
+# shuffles (measured ~7.3 ms of a 16 ms scan call at MSMM shapes, v5e
+# 2026-08-21) disappear because the producer's layout transform composes
+# them for free. Contract: L % IL_MEGA == 0 and within each IL_MEGA-lane
+# chunk, storage lane t*128 + s holds logical time s*T + t (T =
+# IL_MEGA/128). Forward mega and backward chunk are BOTH forced to
+# IL_MEGA so fwd/bwd/y/gy all share one layout and no conversion is ever
+# needed inside the vjp.
+IL_MEGA = 1024
+
+
+def interleaved_scan_ok(b: int, g: int, d: int, n: int) -> bool:
+    """True iff interleaved=True is supported for these shapes: both v2
+    kernels active and the forward geometry admits mega == IL_MEGA."""
+    if not (_fwd_v2() and _bwd_v2()):
+        return False
+    dp = d + ((-d) % 8)
+    geo = _fwd_geometry_v2(b * g, dp, n, IL_MEGA, IL_MEGA)
+    return geo[2] == IL_MEGA
+
 
 def _scan_bytes(gb: int, n: int, db: int, lc: int) -> int:
     return gb * n * db * lc * 4 * _LIVE_TENSORS
@@ -642,15 +664,24 @@ def padded_scan_len(L: int, d: int, n: int, chunk_size: int = 512,
     return Lp
 
 
-def _prep_padded(u, delta, A, B, C, D, delta_bias, chunk_size):
+def _prep_padded(u, delta, A, B, C, D, delta_bias, chunk_size,
+                 interleaved: bool = False):
     """Pad/flatten operands. u/delta/B/C keep their input dtype (the kernels
-    upcast in VMEM); bias+softplus and the D*u term are applied in-kernel."""
+    upcast in VMEM); bias+softplus and the D*u term are applied in-kernel.
+    interleaved=True (see IL_MEGA) forces lc = mega = IL_MEGA so the
+    caller-provided lane order is used as-is by both kernels."""
     b, g, d, L = u.shape
     n = A.shape[-1]
     BG = b * g
 
-    lc, db, pad_d = _choose_geometry(L, d, n, chunk_size)
-    _, _, mega, _ = _fwd_geometry(BG, d + pad_d, n, lc, L)
+    if interleaved:
+        assert L % IL_MEGA == 0, (L, IL_MEGA)
+        pad_d = (-d) % 8
+        lc, mega = IL_MEGA, IL_MEGA
+        db = 8  # only consulted by the non-v2 paths, which assert off
+    else:
+        lc, db, pad_d = _choose_geometry(L, d, n, chunk_size)
+        _, _, mega, _ = _fwd_geometry(BG, d + pad_d, n, lc, L)
     pad_l = (-L) % mega
     if pad_l or pad_d:
         u_p = jnp.pad(u, ((0, 0), (0, 0), (0, pad_d), (0, pad_l)))
@@ -826,9 +857,10 @@ def _fwd_geometry(BG: int, dp: int, n: int, lc: int, L: int):
 
 def _pallas_forward(u, delta, A, B, C, D, delta_bias, delta_softplus,
                     chunk_size, with_states: bool = False,
-                    reverse: bool = False):
+                    reverse: bool = False, interleaved: bool = False):
     u_f, dt_f, bias_f, A_f, B_f, C_f, D_f, s = _prep_padded(
-        u, delta, A, B, C, D, delta_bias, chunk_size)
+        u, delta, A, B, C, D, delta_bias, chunk_size,
+        interleaved=interleaved)
     b, g, d, L, n = s["b"], s["g"], s["d"], s["L"], s["n"]
     BG, dp, Lp, lc = s["BG"], s["dp"], s["Lp"], s["lc"]
     nchunks = s["nchunks"]
@@ -836,7 +868,14 @@ def _pallas_forward(u, delta, A, B, C, D, delta_bias, delta_softplus,
     # forward mega-chunks: rolled sub-chunk iteration keeps VMEM flat, so
     # use bigger grid cells than the backward's doubling chunk (same call
     # as _prep_padded's, so Lp % mega == 0 holds)
-    gb, db, mega, sub = _fwd_geometry(BG, dp, n, lc, L)
+    if interleaved:
+        assert _fwd_v2(), "interleaved mode requires the v2 forward kernel"
+        gb, db, mega, sub = _fwd_geometry_v2(BG, dp, n, IL_MEGA, Lp)
+        assert mega == IL_MEGA, (
+            f"interleaved scan: geometry rejected mega={IL_MEGA} "
+            f"(got {mega}); gate the caller on interleaved_scan_ok()")
+    else:
+        gb, db, mega, sub = _fwd_geometry(BG, dp, n, lc, L)
     nmega = Lp // mega
     states_per_mega = mega // lc
     v2 = _fwd_v2()
@@ -848,10 +887,12 @@ def _pallas_forward(u, delta, A, B, C, D, delta_bias, delta_softplus,
             f"scan v2 chunking misaligned: mega={mega} lc={lc}")
         kernel = functools.partial(_fwd_kernel_v2, mega=mega, state_every=lc,
                                    softplus=delta_softplus, reverse=reverse)
-        if T > 1:
+        if T > 1 and not interleaved:
             # per-mega (S, T) interleave: lane t*128+s <- time s*T+t. An XLA
             # transpose at HBM that usually fuses into the producers; the
             # kernel's (T, S) view is then a free minor-128 split.
+            # (interleaved=True: the caller already laid the operands out
+            # this way — see IL_MEGA — and y is returned interleaved too.)
             def il(x):
                 c = x.shape[1]
                 return (x.reshape(BG, c, nmega, 128, T).swapaxes(-1, -2)
@@ -909,7 +950,7 @@ def _pallas_forward(u, delta, A, B, C, D, delta_bias, delta_softplus,
         interpret=_interpret(),
     )(u_f, dt_f, bias_f, A_f, B_f, C_f, D_f)
 
-    if v2 and T > 1:
+    if v2 and T > 1 and not interleaved:
         y = (y.reshape(BG, dp, nmega, T, 128).swapaxes(-1, -2)
              .reshape(BG, dp, Lp))
     y = y.reshape(b, g, dp, Lp)[:, :, :d, :L]
@@ -919,15 +960,24 @@ def _pallas_forward(u, delta, A, B, C, D, delta_bias, delta_softplus,
 
 
 def _pallas_backward(u, delta, A, B, C, D, delta_bias, delta_softplus,
-                     chunk_size, h0_states, gy, reverse: bool = False):
+                     chunk_size, h0_states, gy, reverse: bool = False,
+                     interleaved: bool = False):
     """Returns (du, ddelta, dA, dB, dC, dD, dbias) matching input shapes.
 
     reverse=True computes the backward of a reverse=True forward NATIVELY
     (no flip copies): the kernel runs fully mirrored (see _bwd_kernel) over
     natural chunk order, consuming the reverse forward's right-edge restart
-    states directly."""
+    states directly.
+
+    interleaved=True: operands AND gy arrive in IL_MEGA lane order (the
+    forward emitted y interleaved), lc == IL_MEGA so the kernel consumes
+    them as-is, and du/ddt/dB/dC are returned interleaved — matching the
+    primal input layout, as custom_vjp requires."""
+    if interleaved:
+        assert _bwd_v2(), "interleaved mode requires the v2 backward kernel"
     u_f, dt_f, bias_f, A_f, B_f, C_f, D_f, s = _prep_padded(
-        u, delta, A, B, C, D, delta_bias, chunk_size)
+        u, delta, A, B, C, D, delta_bias, chunk_size,
+        interleaved=interleaved)
     b, g, d, L, n = s["b"], s["g"], s["d"], s["L"], s["n"]
     BG, dp, Lp, lc = s["BG"], s["dp"], s["Lp"], s["lc"]
     nchunks, gb = s["nchunks"], s["gb"]
@@ -942,7 +992,7 @@ def _pallas_backward(u, delta, A, B, C, D, delta_bias, delta_softplus,
     T = lc // 128
     if v2:
         gb, db = _bwd_geometry_v2(BG, dp, n, lc)
-        if T > 1:
+        if T > 1 and not interleaved:
             # per-chunk (S, T) interleave, same convention as the forward
             def il(x):
                 c = x.shape[1]
@@ -1012,7 +1062,7 @@ def _pallas_backward(u, delta, A, B, C, D, delta_bias, delta_softplus,
         interpret=_interpret(),
     )(u_f, dt_f, bias_f, A_f, B_f, C_f, D_f, gy_f, h0_states)
 
-    if v2 and T > 1:
+    if v2 and T > 1 and not interleaved:
         def uil(x):                                 # inverse interleave
             c = x.shape[1]
             return (x.reshape(BG, c, nchunks, T, 128).swapaxes(-1, -2)
@@ -1039,26 +1089,29 @@ def _pallas_backward(u, delta, A, B, C, D, delta_bias, delta_softplus,
             None if dbias is None else dbias.astype(delta_bias.dtype))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def _selective_scan_pallas(u, delta, A, B, C, D, delta_bias,
-                           delta_softplus, chunk_size, reverse):
+                           delta_softplus, chunk_size, reverse,
+                           interleaved):
     return _pallas_forward(u, delta, A, B, C, D, delta_bias,
-                           delta_softplus, chunk_size, reverse=reverse)
+                           delta_softplus, chunk_size, reverse=reverse,
+                           interleaved=interleaved)
 
 
 def _fwd(u, delta, A, B, C, D, delta_bias, delta_softplus, chunk_size,
-         reverse):
+         reverse, interleaved):
     y, h0_states = _pallas_forward(u, delta, A, B, C, D, delta_bias,
                                    delta_softplus, chunk_size,
-                                   with_states=True, reverse=reverse)
+                                   with_states=True, reverse=reverse,
+                                   interleaved=interleaved)
     return y, (u, delta, A, B, C, D, delta_bias, h0_states)
 
 
-def _bwd(delta_softplus, chunk_size, reverse, res, gy):
+def _bwd(delta_softplus, chunk_size, reverse, interleaved, res, gy):
     u, delta, A, B, C, D, delta_bias, h0_states = res
     return _pallas_backward(u, delta, A, B, C, D, delta_bias,
                             delta_softplus, chunk_size, h0_states, gy,
-                            reverse=reverse)
+                            reverse=reverse, interleaved=interleaved)
 
 
 _selective_scan_pallas.defvjp(_fwd, _bwd)
@@ -1075,6 +1128,7 @@ def selective_scan_pallas(
     delta_softplus: bool = False,
     chunk_size: int = 512,
     reverse: bool = False,
+    interleaved: bool = False,
 ) -> jnp.ndarray:
     """Same contract as ops.selective_scan.selective_scan:
     u/delta (b,g,d,l); A (g,d,n); B/C (b,g,n,l); D/delta_bias (g,d).
@@ -1082,6 +1136,13 @@ def selective_scan_pallas(
     reverse=True scans each row right-to-left (outputs in natural storage
     order) — equivalent to flipping u/delta/B/C along L, scanning, and
     flipping y back, but with the flips folded into the kernel's index maps
-    (zero extra HBM traffic). Used for VMamba cross-scan directions 2/3."""
+    (zero extra HBM traffic). Used for VMamba cross-scan directions 2/3.
+
+    interleaved=True: u/delta/B/C's L axis is pre-laid-out in the v2
+    kernels' (S=128, T) lane order at IL_MEGA granularity (see IL_MEGA and
+    ops/cross_scan.py interleave helpers) and y is RETURNED in that same
+    order — the wrapper's four per-operand interleave shuffles and the
+    output inverse vanish. Gate callers on interleaved_scan_ok()."""
     return _selective_scan_pallas(u, delta, A, B, C, D, delta_bias,
-                                  delta_softplus, chunk_size, reverse)
+                                  delta_softplus, chunk_size, reverse,
+                                  interleaved)
