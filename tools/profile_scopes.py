@@ -87,6 +87,7 @@ def main():
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     depth = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    top_k = int(sys.argv[3]) if len(sys.argv) > 3 else 30
     model = MLLAUper(out_channels=4, deep_supervision=True)
     x = jnp.zeros((batch, 256, 224, 1), jnp.bfloat16)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
@@ -95,7 +96,7 @@ def main():
     hlo = fwd.lower(params, x).compile().as_text()
 
     total, rows, unmatched = trace_and_aggregate(
-        fwd, (params, x), hlo, depth=depth)
+        fwd, (params, x), hlo, depth=depth, top_k=top_k)
     print(f"total XLA-op time: {total:.1f} ms/iter")
     for s, t in rows:
         print(f"  {t:8.2f} ms  {s}")
