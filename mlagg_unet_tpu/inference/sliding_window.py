@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import functools
 import itertools
+import os
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax
@@ -387,6 +388,7 @@ class VolumePredictor:
         self._params_bytes = _mb.params_bytes(self.cast_params)
         self._tile_bytes_cache = {}
         self._tile_fn_cache = {}
+        self._tb_tuned = {}
         self._cache = {}
 
     def _probe_tile_bytes(self, in_channels: int) -> int:
@@ -406,6 +408,51 @@ class VolumePredictor:
         return self._mb.select_tile_batch(
             self._budget, fixed_bytes + self._params_bytes, per_tile,
             max(1, n_tiles // self.n_shards))
+
+    def _autotune_tb(self, tb_max: int, in_channels: int) -> int:
+        """Throughput-tuned tile batch: the HBM budget gives the LARGEST
+        batch that fits, but throughput peaks far below it for
+        scan-/attention-heavy nets (flagship on v5e, 2026-08-21: model
+        batch 8 = 3.49 ms/tile vs batch 20 = 4.29 vs batch 160 = 4.71 —
+        the budget alone picked 160 and cost 25%). TPU analogue of cuDNN
+        benchmark mode (SURVEY N7): time the jitted TTA tile forward at a
+        few candidate batches once per (predictor, channels) and keep the
+        fastest. Compile cost is a few warmup graphs on the first volume;
+        MLAGG_AUTOTUNE_TB=0 restores budget-only selection."""
+        import time as _time
+
+        if (os.environ.get("MLAGG_AUTOTUNE_TB", "1") == "0" or tb_max <= 1
+                or jax.default_backend() != "tpu"):
+            # off-TPU timing is meaningless (and CPU tests would pay the
+            # candidate compiles); budget-only selection there
+            return tb_max
+        if in_channels in self._tb_tuned:
+            return min(self._tb_tuned[in_channels], tb_max)
+        nc = max(1, len(self.combos))
+        cands = sorted({max(1, m // nc) for m in (8, 16, 32)})
+        cands = [t for t in cands if t <= tb_max]
+        # the budget's own choice competes too, unless its model batch is
+        # so large that evaluating it costs more than it could win
+        if tb_max * nc <= 64 and tb_max not in cands:
+            cands.append(tb_max)
+        if len(cands) <= 1:
+            self._tb_tuned[in_channels] = tb_max
+            return tb_max
+        dtype = self.upload_dtype or jnp.float32
+        best_t, best_ms = None, None
+        for t in cands:
+            fn = self._tile_fn(t, in_channels)
+            x = jnp.zeros((t, *self.tile_size, in_channels), dtype)
+            jax.block_until_ready(fn(x))
+            iters = max(3, 24 // t)
+            t0 = _time.perf_counter()
+            outs = [fn(x) for _ in range(iters)]
+            jax.block_until_ready(outs[-1])
+            per_tile = (_time.perf_counter() - t0) / iters / t
+            if best_ms is None or per_tile < best_ms:
+                best_t, best_ms = t, per_tile
+        self._tb_tuned[in_channels] = best_t
+        return best_t
 
     def _predict_tiles(self, tiles):
         """(T, *tile, C) -> fp32 (T, *tile, K), TTA-averaged."""
@@ -588,7 +635,7 @@ class VolumePredictor:
                        if fixed + self._params_bytes < self._budget else 0)
             if fixed + self._params_bytes + min_net >= self._budget:
                 return self._run_host(padded, bounds, z_mode, positions, C)
-            tb = self._select_tb(n_tiles, C, fixed)
+            tb = self._autotune_tb(self._select_tb(n_tiles, C, fixed), C)
         granule = tb * self.n_shards
         pad_n = (-n_tiles) % granule
         valid = np.ones(n_tiles, np.float32)
