@@ -115,6 +115,17 @@ def main():
 
     busy_s = busy_us / 1e6
     idle_pct = max(0.0, 1.0 - busy_s / wall) * 100.0
+    # 2026-08-21 on-chip run: wall was 380 s for 8 volumes, dominated by
+    # order-3 preprocessing on this runner's SINGLE host core (~47 s/vol
+    # vs ~0.8 s device compute) — idle% here measures host cores, not the
+    # device pipeline. ALSO: the trace reported 0.138 s busy (vs >=6 s of
+    # actual sliding-window compute) — device events dispatched from the
+    # predictor's background threads are not all captured through the
+    # axon tunnel, so treat device_busy_s as a LOWER bound.
+    if busy_s < 0.5:
+        print("# WARNING: device_busy_s implausibly low - background-"
+              "thread device events likely missing from the trace; "
+              "treat as a lower bound", file=sys.stderr)
     print(json.dumps({
         "n_volumes": n_volumes,
         "n_folds": n_folds,
