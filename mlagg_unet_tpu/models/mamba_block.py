@@ -222,7 +222,7 @@ class SS2D(nn.Module):
         Ds = self.param("Ds", nn.initializers.ones, (K, d_inner), jnp.float32)
         A = -jnp.exp(A_logs)
 
-        def project_and_scan(xs, k_sl, reverse):
+        def project_and_scan(xs, k_sl, reverse, interleaved=False):
             scan_dtype = jnp.float32 if force_fp32 else xs.dtype
             x_dbl = jnp.einsum("bkdl,kcd->bkcl", xs.astype(scan_dtype),
                                x_proj_weight[k_sl].astype(scan_dtype),
@@ -234,28 +234,61 @@ class SS2D(nn.Module):
             Cs = x_dbl[:, :, dt_rank + self.d_state:]
             return selective_scan(xs, dts, A[k_sl], Bs, Cs, Ds[k_sl],
                                   dt_projs_bias[k_sl], delta_softplus=True,
-                                  reverse=reverse)
+                                  reverse=reverse, interleaved=interleaved)
 
         if directions == 4:
             # kernel-folded reversal: directions 2/3 scan the SAME two
             # layouts right-to-left (reverse=True index maps) — no flip
             # copies in scan or merge (see ops/cross_scan._dirs01)
-            from mlagg_unet_tpu.ops.cross_scan import _dirs01
+            from mlagg_unet_tpu.ops import scan_impl_is_pallas
+            from mlagg_unet_tpu.ops.cross_scan import (
+                _dirs01,
+                deinterleave_to_tokens,
+                interleave_tokens,
+            )
+            from mlagg_unet_tpu.ops.selective_scan_pallas import (
+                IL_MEGA,
+                interleaved_scan_ok,
+            )
 
-            d0, d1 = _dirs01(xh)
-            xs2 = jnp.stack([d0, d1], axis=1)          # (B, 2, Din, L)
-            y_f = project_and_scan(xs2, slice(0, 2), False)
-            y_r = project_and_scan(xs2, slice(2, 4), True)
-            row = y_f[:, 0] + y_r[:, 0]                # (B, Din, L)
-            col = y_f[:, 1] + y_r[:, 1]
-            col = jnp.transpose(col.reshape(B, d_inner, W, H),
-                                (0, 1, 3, 2)).reshape(B, d_inner, L)
-            y = row + col
+            use_il = (scan_impl_is_pallas()
+                      and interleaved_scan_ok(B, 2, d_inner, self.d_state))
+            if use_il:
+                # interleaved fast path (same contract as the MSMM,
+                # mamba_skip.py): operands born in the v2 kernels' lane
+                # order, composing the interleave into the cross-scan
+                # transposes. Single scale => the zero pad is TERMINAL for
+                # the forward scan and LEADING for the reverse one; both
+                # keep h = 0 through it (u = B = 0), so no delta mask is
+                # needed and y's pad region is never read.
+                row_t = xh.reshape(B, L, d_inner)
+                col_t = jnp.transpose(xh, (0, 2, 1, 3)).reshape(B, L, d_inner)
+                xs2 = jnp.stack([interleave_tokens(row_t, IL_MEGA),
+                                 interleave_tokens(col_t, IL_MEGA)], axis=1)
+            else:
+                d0, d1 = _dirs01(xh)
+                xs2 = jnp.stack([d0, d1], axis=1)      # (B, 2, Din, L)
+            y_f = project_and_scan(xs2, slice(0, 2), False, use_il)
+            y_r = project_and_scan(xs2, slice(2, 4), True, use_il)
+            if use_il:
+                tf = deinterleave_to_tokens(y_f, IL_MEGA, L)  # (B,2,L,Din)
+                tr = deinterleave_to_tokens(y_r, IL_MEGA, L)
+                row = tf[:, 0] + tr[:, 0]              # token-major already
+                col = tf[:, 1] + tr[:, 1]
+                col = jnp.transpose(col.reshape(B, W, H, d_inner),
+                                    (0, 2, 1, 3)).reshape(B, L, d_inner)
+                y = row + col                          # (B, L, Din)
+            else:
+                row = y_f[:, 0] + y_r[:, 0]            # (B, Din, L)
+                col = y_f[:, 1] + y_r[:, 1]
+                col = jnp.transpose(col.reshape(B, d_inner, W, H),
+                                    (0, 1, 3, 2)).reshape(B, d_inner, L)
+                y = jnp.swapaxes(row + col, 1, 2)      # (B, L, Din)
         else:
             xs = scan_fn(xh)                           # (B, 4, Din, L)
             out_y = project_and_scan(xs, slice(0, K), False)
             y = merge_fn(out_y, H, W)                  # (B,Din,L)
-        y = jnp.swapaxes(y, 1, 2)                      # (B,L,Din)
+            y = jnp.swapaxes(y, 1, 2)                  # (B,L,Din)
         if flags.get("_onnone"):
             pass
         elif flags.get("_onsoftmax"):

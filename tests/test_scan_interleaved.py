@@ -187,6 +187,28 @@ def test_cross_scan_il_equals_natural_path(rng):
                                    rtol=1e-6, atol=1e-6)
 
 
+def test_ss2d_interleaved_matches_xla_path(rng):
+    """Single-scale VMamba SS2D cell (4-direction): forced-Pallas
+    interleaved path (interpret mode off TPU) vs the XLA fallback."""
+    from mlagg_unet_tpu import ops as ops_mod
+    from mlagg_unet_tpu.models.mamba_block import SS2D
+
+    x = jnp.asarray(rng.randn(1, 24, 20, 4).astype(np.float32))
+    cell = SS2D(d_model=4, d_state=4)
+    params = cell.init(jax.random.PRNGKey(0), x)
+
+    y_xla = cell.apply(params, x)
+    prev = ops_mod._SCAN_IMPL
+    ops_mod.set_default_scan_impl("pallas")
+    try:
+        y_il = cell.apply(params, x)
+    finally:
+        ops_mod.set_default_scan_impl(prev)
+    scale = np.abs(np.asarray(y_xla)).max() + 1e-6
+    rel = np.abs(np.asarray(y_il) - np.asarray(y_xla)).max() / scale
+    assert rel < 2e-4, rel
+
+
 def test_ss2dskip_interleaved_matches_xla_path(rng):
     """Full MSMM block: forced-Pallas interleaved path (interpret mode off
     TPU) vs the XLA fallback path — same params, same inputs, same output.
