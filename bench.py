@@ -49,8 +49,10 @@ def main():
     tile_size = (256, 224)
     num_classes = 4
     mirror_axes = (0, 1)
-    # tile batch is auto-selected from the HBM budget + XLA's compile-time
-    # memory analysis (inference/memory_budget.py) — no hand-tuned constant
+    # tile batch is auto-selected: HBM budget + XLA's compile-time memory
+    # analysis caps it (inference/memory_budget.py), then the warmup-time
+    # throughput autotuner picks the fastest candidate (sliding_window.py
+    # _autotune_tb; model batch 8 wins on v5e) — no hand-tuned constant
     tile_batch = None
     n_slices, H, W = 10, 320, 260
     # 8 volumes: the LAST volume's device->host logits fetch (~0.7 s of
