@@ -105,19 +105,21 @@ def test_pallas_interleaved_matches_natural(rng, reverse):
                                rtol=2e-4, atol=2e-4)
 
 
-def test_pallas_interleaved_gradients(rng):
+@pytest.mark.parametrize("reverse", [False, True])
+def test_pallas_interleaved_gradients(rng, reverse):
     b, g, d, n, L = 1, 2, 8, 4, 2 * IL_MEGA
     u, delta, A, B, C, D, db = _mk_scan_inputs(rng, b, g, d, n, L)
     cot = rng.randn(b, g, d, L).astype(np.float32)
 
     def f_nat(u, delta, B, C):
-        y = selective_scan(u, delta, A, B, C, D, db, delta_softplus=True)
+        y = selective_scan(u, delta, A, B, C, D, db, delta_softplus=True,
+                           reverse=reverse)
         return jnp.sum(y * cot)
 
     def f_il(u, delta, B, C):
         y = selective_scan_pallas(
             _il(u), _il(delta), A, _il(B), _il(C), D, db,
-            delta_softplus=True, interleaved=True)
+            delta_softplus=True, reverse=reverse, interleaved=True)
         return jnp.sum(_dil(y) * cot)
 
     args = tuple(map(jnp.asarray, (u, delta, B, C)))
@@ -185,6 +187,40 @@ def test_cross_scan_il_equals_natural_path(rng):
     for a, b in zip(got, ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_ss2dskip_interleaved_gradients_match_xla(rng):
+    """Training path: parameter gradients through the full MSMM block must
+    agree between the interleaved Pallas path (interpret mode) and the XLA
+    fallback — covers the cross-scan transposes' adjoints, the pad-mask
+    where, and the interleaved custom_vjp in one shot."""
+    from mlagg_unet_tpu import ops as ops_mod
+    from mlagg_unet_tpu.models.mamba_skip import SS2DSkip
+
+    shapes = [(12, 10), (6, 5)]
+    feats = [jnp.asarray(rng.randn(1, h, w, 4).astype(np.float32))
+             for h, w in shapes]
+    cell = SS2DSkip(d_model=4, d_state=4)
+    params = cell.init(jax.random.PRNGKey(0), feats)
+
+    def loss(p):
+        outs = cell.apply(p, feats)
+        return sum(jnp.sum(o * (i + 1)) for i, o in enumerate(outs))
+
+    g_xla = jax.grad(loss)(params)
+    prev = ops_mod._SCAN_IMPL
+    ops_mod.set_default_scan_impl("pallas")
+    try:
+        g_il = jax.grad(loss)(params)
+    finally:
+        ops_mod.set_default_scan_impl(prev)
+
+    flat_x, _ = jax.tree_util.tree_flatten(g_xla)
+    flat_i, _ = jax.tree_util.tree_flatten(g_il)
+    for gx, gi in zip(flat_x, flat_i):
+        scale = np.abs(np.asarray(gx)).max() + 1e-6
+        rel = np.abs(np.asarray(gi) - np.asarray(gx)).max() / scale
+        assert rel < 5e-4, rel
 
 
 def test_ss2d_interleaved_matches_xla_path(rng):
