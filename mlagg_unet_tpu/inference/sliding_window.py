@@ -409,6 +409,19 @@ class VolumePredictor:
             self._budget, fixed_bytes + self._params_bytes, per_tile,
             max(1, n_tiles // self.n_shards))
 
+    @staticmethod
+    def autotune_candidates(tb_max: int, n_combos: int) -> List[int]:
+        """Tile-batch candidates to time: model batches ~8/16/32 (where
+        scan-/attention-heavy nets peak) plus the budget's own choice
+        when its model batch is small enough that evaluating it costs
+        less than it could win (conv nets do like big batches)."""
+        nc = max(1, n_combos)
+        cands = sorted({max(1, m // nc) for m in (8, 16, 32)})
+        cands = [t for t in cands if t <= tb_max]
+        if tb_max * nc <= 64 and tb_max not in cands:
+            cands.append(tb_max)
+        return cands
+
     def _autotune_tb(self, tb_max: int, in_channels: int) -> int:
         """Throughput-tuned tile batch: the HBM budget gives the LARGEST
         batch that fits, but throughput peaks far below it for
@@ -428,13 +441,7 @@ class VolumePredictor:
             return tb_max
         if in_channels in self._tb_tuned:
             return min(self._tb_tuned[in_channels], tb_max)
-        nc = max(1, len(self.combos))
-        cands = sorted({max(1, m // nc) for m in (8, 16, 32)})
-        cands = [t for t in cands if t <= tb_max]
-        # the budget's own choice competes too, unless its model batch is
-        # so large that evaluating it costs more than it could win
-        if tb_max * nc <= 64 and tb_max not in cands:
-            cands.append(tb_max)
+        cands = self.autotune_candidates(tb_max, len(self.combos))
         if len(cands) <= 1:
             self._tb_tuned[in_channels] = tb_max
             return tb_max

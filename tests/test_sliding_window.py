@@ -108,3 +108,22 @@ def test_2d_network_over_3d_volume(rng):
     )
     assert logits.shape == (3, 5, 40, 40)
     np.testing.assert_allclose(logits, 1.0, rtol=1e-5)
+
+
+def test_autotune_candidate_sets():
+    """Candidate construction for the tile-batch autotuner: small model
+    batches always probed, the budget's choice only when cheap to
+    evaluate (model batch <= 64), everything capped by the budget."""
+    from mlagg_unet_tpu.inference.sliding_window import VolumePredictor
+
+    c = VolumePredictor.autotune_candidates
+    # flagship bench shape: 4 mirror combos, budget picked tb=40
+    assert c(40, 4) == [2, 4, 8]            # model 160 too big to time
+    assert c(10, 4) == [2, 4, 8, 10]        # budget's choice competes
+    assert c(8, 4) == [2, 4, 8]
+    assert c(2, 4) == [2]                   # capped by budget
+    assert c(3, 8) == [1, 2, 3]             # 3D: 8 combos
+    assert c(1, 4) == [1]
+    # no-TTA predictor: combos == 1
+    assert c(64, 1) == [8, 16, 32, 64]
+    assert c(100, 1) == [8, 16, 32]
