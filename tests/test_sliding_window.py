@@ -127,3 +127,24 @@ def test_autotune_candidate_sets():
     # no-TTA predictor: combos == 1
     assert c(64, 1) == [8, 16, 32, 64]
     assert c(100, 1) == [8, 16, 32]
+
+
+def test_upload_dtype_auto_is_equivalent(rng):
+    """upload_dtype='auto' (host-side compute_dtype cast) must match the
+    fp32-upload path bit-for-bit when compute_dtype is set: the tiles are
+    cast to compute_dtype before the network either way."""
+    import jax.numpy as jnp
+
+    def apply_fn(variables, x):
+        return jnp.concatenate([x.astype(jnp.float32),
+                                -x.astype(jnp.float32)], axis=-1)
+
+    data = rng.rand(1, 48, 36).astype(np.float32)
+    outs = []
+    for upload in ("auto", jnp.float32):
+        pred = sw.VolumePredictor(apply_fn, {}, (32, 32), 2, (),
+                                  tile_batch_size=2,
+                                  compute_dtype=jnp.bfloat16,
+                                  upload_dtype=upload)
+        outs.append(pred(data))
+    np.testing.assert_array_equal(outs[0], outs[1])
